@@ -1,0 +1,296 @@
+"""DIRT construction: stacked SIRT layers over a tempering ladder.
+
+Re-design of matlab/constructors/tt_dirt_approx.m: each level builds a TT
+approximation of sqrt(density ratio) via the AMEn cross; the ratio at
+level l is evaluated by pushing the cross's probe points through the
+already-built transform stack (``dualbetafun``, tt_dirt_approx.m:463-479)
+— an inversion of control where construction and sampling couple.
+
+Level self-testing (N/ESS gate with bounded recomputes,
+tt_dirt_approx.m:418-453), the overflow baseline ``lFshift``
+(:276-281,443-450), per-level vector hyperparameters (:101-122) and
+resume-from-existing-DIRT (:154-173) are all kept.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.tt import TT
+from ..samplers.debias import mcmc_prune
+from ..samplers.diagnostics import essinv, hellinger
+from ..samplers.dirt import DIRT, tt_dirt_sample
+from ..samplers.reference import randref, reference_sigma
+from .amen_cross import amen_cross_s
+
+__all__ = ["tt_dirt_approx", "DirtOptions"]
+
+
+@dataclass
+class DirtOptions:
+    """Hyperparameters of DIRT construction (defaults match
+    tt_dirt_approx.m:43-57).  ``nswp``/``kickrank``/``stoptol``/
+    ``trunctol``/``y0`` may be scalars or per-level vectors."""
+
+    nq: Optional[Sequence[int]] = None
+    stoptol: float | Sequence[float] = 0.4
+    trunctol: float | Sequence[float] = 0.0
+    y0: int | Sequence[int] = 1
+    kickrank: float | Sequence[float] = 4
+    nswp: int | Sequence[int] = 4
+    boundary: bool = False
+    testsamples: int = 10_000
+    recompute: float = 50.0
+    irtdenom: bool | Sequence[bool] = False
+    reference: str = "uniform"
+    interpolation: str = "spline"
+    verb: int = 0
+    seed: int = 0
+    rmax: Optional[int] = None
+    extra: dict = field(default_factory=dict)
+
+
+def _per_level(v, nlvl):
+    arr = np.atleast_1d(np.asarray(v, dtype=object))
+    if arr.shape[0] == 1:
+        arr = np.repeat(arr, nlvl + 1)
+    if arr.shape[0] < nlvl + 1:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], nlvl + 1 - arr.shape[0])])
+    return arr
+
+
+def _chebyshev_extrema(n):
+    """0.5*(cos(pi*(n-1..0)/(n-1)) + 1): the level>=1 grid on [0,1] for a
+    uniform reference (tt_dirt_approx.m:306)."""
+    return 0.5 * (np.cos(np.pi * np.arange(n - 1, -1, -1) / (n - 1)) + 1.0)
+
+
+def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
+                   options: DirtOptions | None = None,
+                   irtstruct: DIRT | None = None,
+                   **kwargs) -> DIRT:
+    """Build (or extend) a DIRT for the log-density ``logpostfun``.
+
+    Args:
+      x0: list of d level-0 grid vectors (with boundaries).
+      logpostfun: ``f(x, beta_min, beta_max) -> (M,)`` log density-ratio,
+        vectorized over the sample axis (JAX functions run batched on
+        device).
+      beta: increasing bridging ladder (beta[0] is level 0).
+      options / kwargs: DirtOptions fields.
+      irtstruct: existing DIRT to resume/extend (appends levels).
+    Returns a DIRT stack ready for tt_dirt_sample.
+    """
+    opt = options or DirtOptions()
+    for k, v in kwargs.items():
+        if not hasattr(opt, k):
+            raise TypeError(f"unknown DIRT option {k!r}")
+        setattr(opt, k, v)
+
+    beta = np.asarray(beta, dtype=np.float64).reshape(-1)
+    nlvl = beta.shape[0] - 1
+    d = len(x0)
+    x0 = [np.asarray(g, dtype=np.float64).reshape(-1) for g in x0]
+
+    nswp = _per_level(opt.nswp, nlvl)
+    kickrank = _per_level(opt.kickrank, nlvl)
+    stoptol = _per_level(opt.stoptol, nlvl)
+    trunctol = _per_level(opt.trunctol, nlvl)
+    y0v = _per_level(opt.y0, nlvl)
+    irtdenom = _per_level(opt.irtdenom, nlvl)
+
+    interpolation = opt.interpolation.lower()
+    reference = opt.reference.lower() if isinstance(opt.reference, str) \
+        else opt.reference
+    sigma = reference_sigma(reference)
+    boundary = opt.boundary
+    if not interpolation.startswith("s") and not boundary:
+        boundary = True  # Fourier needs boundary values (dirt_approx.m:124-127)
+
+    nq = opt.nq
+    if nq is None:
+        nq = [g.shape[0] for g in x0]
+    nq = [int(v) for v in (nq if np.ndim(nq) else [nq] * d)]
+
+    key = jax.random.PRNGKey(opt.seed)
+    rng = np.random.default_rng(opt.seed)
+
+    evalcnt = np.zeros(nlvl + 1, dtype=np.int64)
+
+    def cross_grids(grids):
+        if boundary:
+            return [g for g in grids]
+        return [g[1:-1] for g in grids]
+
+    # ------------------------------------------------------------------
+    # Level 0
+    # ------------------------------------------------------------------
+    if irtstruct is None:
+        lvl0_grids = cross_grids(x0)
+
+        def fun0(ind):
+            ind = np.asarray(ind)
+            x = np.stack([lvl0_grids[k][ind[:, k]] for k in range(d)], axis=1)
+            lp = np.asarray(logpostfun(jnp.asarray(x), 0.0, float(beta[0])))
+            return np.exp(0.5 * lp)
+
+        res = amen_cross_s(
+            [g.shape[0] for g in lvl0_grids],
+            fun0, float(trunctol[0]), tol_exit=float(stoptol[0]),
+            y0=int(np.max(np.atleast_1d(y0v[0]))),
+            kickrank=kickrank[0], nswp=int(nswp[0]), verb=opt.verb,
+            seed=opt.seed, rmax=opt.rmax)
+        f0 = res.tt
+        evalcnt[0] += sum(res.evalcnt)
+
+        dirt = DIRT(f0, [], x0, [], beta[:1], 0.0,
+                    reference=reference, interpolation=interpolation,
+                    evalcnt=evalcnt)
+        lfshift = 0.0
+        if opt.testsamples > 0:
+            ntest = int(min(max(sum(res.evalcnt), 2), opt.testsamples))
+            key, sub = jax.random.split(key)
+            y = randref(reference, sub, (ntest, d))
+            z, lfapp, lfex = tt_dirt_sample(
+                dirt, y, lambda x: logpostfun(x, 0.0, float(beta[0])))
+            tau = float(essinv(lfex, lfapp))
+            if opt.verb:
+                print(f"[dirt] level 0 beta={beta[0]:g}: N/ESS = {tau:g}")
+            evalcnt[0] += ntest
+            lfshift = float(jnp.max(lfex))
+            if bool(irtdenom[0]):
+                lfshift -= float(jnp.max(lfapp))
+        dirt = DIRT(f0, [], x0, [], beta[:1], lfshift,
+                    reference=reference, interpolation=interpolation,
+                    evalcnt=evalcnt)
+        ilvl = 1
+        fprev_rank = int(np.max(np.atleast_1d(y0v[min(1, nlvl)])))
+        fprev = None
+    else:
+        dirt = irtstruct
+        ilvl = dirt.nlevels + 1
+        evalcnt[:len(np.atleast_1d(dirt.evalcnt))] = np.atleast_1d(dirt.evalcnt)
+        lfshift = float(np.asarray(dirt.lfshift))
+        if dirt.nlevels + 1 < beta.shape[0] and \
+                not np.allclose(beta[:dirt.nlevels + 1], np.asarray(dirt.beta)):
+            raise ValueError("beta ladder prefix must match existing DIRT")
+        fprev = dirt.fprev
+        fprev_rank = int(np.max(np.atleast_1d(y0v[min(1, nlvl)])))
+
+    if nlvl == 0:
+        return dirt
+
+    # ------------------------------------------------------------------
+    # Grids for levels >= 1 (reference space)
+    # ------------------------------------------------------------------
+    if sigma is None:
+        xg = [_chebyshev_extrema(nk) for nk in nq]
+    else:
+        if interpolation.startswith("s"):
+            xg = [np.linspace(0.0, 1.0, nk) * 2 * sigma - sigma for nk in nq]
+        else:
+            xg = [(np.arange(1, 2 * ((nk + 1) // 2) + 1)
+                   * (2 * sigma / (2 * ((nk + 1) // 2))) - sigma)
+                  for nk in nq]
+    xg = [np.asarray(g) for g in xg]
+
+    # ------------------------------------------------------------------
+    # Levels 1..nlvl with the ESS-gated recompute loop
+    # ------------------------------------------------------------------
+    recompute_count = 0
+    fs = list(dirt.fs)
+    while ilvl <= nlvl:
+        b_lo, b_hi = float(beta[ilvl - 1]), float(beta[ilvl])
+        if opt.verb:
+            print(f"[dirt] approximating level {ilvl} for beta={b_hi:g}")
+        cur_dirt = DIRT(dirt.f0, fs, x0, xg, beta[:ilvl], lfshift,
+                        reference=reference, interpolation=interpolation,
+                        evalcnt=evalcnt)
+        lvl_grids = cross_grids(xg)
+
+        use_denom = bool(irtdenom[ilvl])
+
+        def funl(ind, _dirt=cur_dirt, _blo=b_lo, _bhi=b_hi,
+                 _shift=lfshift, _denom=use_denom):
+            ind = np.asarray(ind)
+            x = jnp.stack(
+                [jnp.asarray(lvl_grids[k])[ind[:, k]] for k in range(d)],
+                axis=1)
+            z, lfapp = tt_dirt_sample(_dirt, x)
+            blo = 0.0 if _denom else _blo
+            lr = logpostfun(z, blo, _bhi) - _shift
+            if _denom:
+                # ratio against the realized IRT density instead of the
+                # previous tempered density (tt_dirt_approx.m:466-473)
+                lr = lr - lfapp
+            if sigma is not None:
+                lr = lr - 0.5 * jnp.sum(x * x, axis=1)
+            return np.asarray(jnp.exp(0.5 * lr))
+
+        y0_init = fprev if fprev is not None else \
+            int(np.max(np.atleast_1d(y0v[min(ilvl, len(y0v) - 1)])))
+        res = amen_cross_s(
+            [g.shape[0] for g in lvl_grids], funl, float(trunctol[ilvl]),
+            tol_exit=float(stoptol[ilvl]), y0=y0_init,
+            kickrank=kickrank[ilvl], nswp=int(nswp[ilvl]), verb=opt.verb,
+            seed=opt.seed + ilvl, rmax=opt.rmax)
+        evalcnt[ilvl] += sum(res.evalcnt)
+        f_new = res.tt
+
+        fs = fs[:ilvl - 1] + [f_new]
+        cand = DIRT(dirt.f0, fs, x0, xg, beta[:ilvl + 1], lfshift,
+                    reference=reference, interpolation=interpolation,
+                    evalcnt=evalcnt)
+
+        accept = True
+        if opt.testsamples > 0:
+            ntest = int(min(max(sum(res.evalcnt), 2), opt.testsamples))
+            key, sub = jax.random.split(key)
+            y = randref(reference, sub, (ntest, d))
+            z, lfapp, lfex = tt_dirt_sample(
+                cand, y, lambda x: logpostfun(x, 0.0, b_hi))
+            key, sub = jax.random.split(key)
+            _, _, _, nrej, _ = mcmc_prune(z, lfex, lfapp, key=sub)
+            tau = float(essinv(lfex, lfapp))
+            hl = float(hellinger(lfex, lfapp))
+            if opt.verb:
+                print(f"[dirt] level {ilvl}: N/ESS = {tau:g}, "
+                      f"Hellinger = {hl:.3e}, "
+                      f"rejects = {100.0 * float(nrej) / ntest:.1f}%")
+            evalcnt[ilvl] += ntest
+            if tau > opt.recompute:
+                accept = False
+                recompute_count += 1
+                if recompute_count > 4:
+                    raise RuntimeError(
+                        f"too poor approximation at beta={b_hi:g} after 5 "
+                        "attempts, giving up (tt_dirt_approx.m:437-440)")
+            else:
+                recompute_count = 0
+                if ilvl < nlvl:
+                    if bool(irtdenom[ilvl]):
+                        lfshift = float(jnp.max(lfex)) * \
+                            float(beta[ilvl + 1]) / b_hi - float(jnp.max(lfapp))
+                    else:
+                        lfshift = float(jnp.max(lfex)) * \
+                            (float(beta[ilvl + 1]) - b_hi) / b_hi
+        if not accept:
+            fs = fs[:ilvl - 1]
+            continue
+
+        # Rank-limited initial guess for the next level
+        from ..ops.tt import tt_round
+
+        fprev = tt_round(f_new, 0.0, rmax=fprev_rank)
+        dirt = DIRT(dirt.f0, fs, x0, xg, beta[:ilvl + 1], lfshift,
+                    reference=reference, interpolation=interpolation,
+                    evalcnt=evalcnt, fprev=fprev)
+        ilvl += 1
+
+    return dirt

@@ -1,0 +1,402 @@
+"""Tensor-train container and arithmetic, as a JAX pytree.
+
+The reference stacks these capabilities on the external TT-Toolbox
+(``tt_tensor``, ``core2cell``, ``round``, ``dot``, ``tkron``,
+``tt_meshgrid_vert``, ... — see /root/reference usage at e.g.
+matlab/constructors/amen_cross_s.m:199 and tt_dirt_approx.m:142).  Here a TT
+is a first-class pytree: a tuple of cores with shapes ``(r_{k-1}, n_k, r_k)``,
+so it jits, vmaps and shards like any other JAX value.
+
+Boundary ranks may exceed 1: block tensors (as produced by the block cross,
+amen_cross_s.m:575-579) carry the block index in the right boundary rank.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "TT",
+    "tt_full",
+    "tt_dot",
+    "tt_norm",
+    "tt_add",
+    "tt_scale",
+    "tt_hadamard",
+    "tt_round",
+    "tt_orthogonalize",
+    "tt_from_dense",
+    "tt_rand",
+    "tt_ones",
+    "tt_meshgrid",
+    "tkron",
+    "tt_sum_modes",
+    "tt_mean_field",
+    "tt_eval_indices",
+]
+
+
+@jax.tree_util.register_pytree_node_class
+class TT:
+    """Tensor train: tuple of cores ``(r_{k-1}, n_k, r_k)``.
+
+    Purely functional — all operations return new TTs.  The cores are the
+    pytree leaves, so a TT can be passed through jit/vmap/scan/shard_map
+    and serialized with orbax as-is.
+    """
+
+    __slots__ = ("cores",)
+
+    def __init__(self, cores: Sequence[jnp.ndarray]):
+        self.cores = tuple(cores)
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        return self.cores, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children)
+
+    # -- shape accessors ---------------------------------------------------
+    @property
+    def d(self) -> int:
+        return len(self.cores)
+
+    @property
+    def n(self) -> tuple:
+        return tuple(c.shape[1] for c in self.cores)
+
+    @property
+    def ranks(self) -> tuple:
+        return (self.cores[0].shape[0],) + tuple(c.shape[2] for c in self.cores)
+
+    @property
+    def dtype(self):
+        return self.cores[0].dtype
+
+    def __repr__(self):
+        return f"TT(d={self.d}, n={self.n}, ranks={self.ranks})"
+
+    # convenience operators
+    def __add__(self, other):
+        return tt_add(self, other)
+
+    def __mul__(self, alpha):
+        return tt_scale(self, alpha)
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return tt_scale(self, -1.0)
+
+    def __sub__(self, other):
+        return tt_add(self, tt_scale(other, -1.0))
+
+
+# ---------------------------------------------------------------------------
+# Dense conversions
+# ---------------------------------------------------------------------------
+
+def tt_full(t: TT) -> jnp.ndarray:
+    """Contract a TT to a dense array of shape ``n`` (boundary ranks kept
+    as leading/trailing axes if > 1)."""
+    r0 = t.cores[0].shape[0]
+    out = jnp.reshape(t.cores[0], (r0 * t.cores[0].shape[1], -1))
+    for c in t.cores[1:]:
+        r1, n, r2 = c.shape
+        out = out @ jnp.reshape(c, (r1, n * r2))
+        out = jnp.reshape(out, (-1, r2))
+    rd = t.cores[-1].shape[2]
+    shape = t.n
+    if r0 > 1:
+        shape = (r0,) + shape
+    if rd > 1:
+        shape = shape + (rd,)
+    return jnp.reshape(out, shape)
+
+
+def tt_from_dense(a: jnp.ndarray, eps: float = 0.0, rmax: int | None = None) -> TT:
+    """TT-SVD of a dense array (sequential truncated SVDs)."""
+    a = jnp.asarray(a)
+    n = a.shape
+    d = len(n)
+    nrm = jnp.linalg.norm(a.ravel())
+    delta = eps / math.sqrt(max(d - 1, 1)) * nrm
+    cores = []
+    r_prev = 1
+    rest = jnp.reshape(a, (r_prev * n[0], -1))
+    for k in range(d - 1):
+        u, s, vt = jnp.linalg.svd(rest, full_matrices=False)
+        r = _chop_rank(s, delta, rmax)
+        cores.append(jnp.reshape(u[:, :r], (r_prev, n[k], r)))
+        rest = s[:r, None] * vt[:r, :]
+        r_prev = r
+        rest = jnp.reshape(rest, (r_prev * n[k + 1], -1))
+    cores.append(jnp.reshape(rest, (r_prev, n[d - 1], 1)))
+    return TT(cores)
+
+
+def _chop_rank(s: jnp.ndarray, delta, rmax: int | None) -> int:
+    """Smallest r with truncated tail energy <= delta (concretizes s)."""
+    s = np.asarray(s)
+    tails = np.sqrt(np.cumsum(s[::-1] ** 2))[::-1]  # tails[r] = ||s[r:]||
+    keep = np.nonzero(tails > float(delta))[0]
+    r = int(keep[-1]) + 1 if keep.size else 1
+    r = max(r, 1)
+    if rmax is not None:
+        r = min(r, int(rmax))
+    return r
+
+
+# ---------------------------------------------------------------------------
+# Algebra
+# ---------------------------------------------------------------------------
+
+def tt_dot(a: TT, b: TT) -> jnp.ndarray:
+    """Inner product <a, b> (sum over the full tensor product grid)."""
+    ra, rb = a.cores[0].shape[0], b.cores[0].shape[0]
+    if ra != rb:
+        raise ValueError("left boundary ranks must match")
+    g = jnp.eye(ra, dtype=a.dtype)
+    for ca, cb in zip(a.cores, b.cores):
+        # g: (ra_k, rb_k); contract over mode
+        g = jnp.einsum("ab,aic,bid->cd", g, ca, cb)
+    return jnp.squeeze(g)
+
+
+def tt_norm(a: TT) -> jnp.ndarray:
+    return jnp.sqrt(jnp.abs(tt_dot(a, a)))
+
+
+def tt_scale(a: TT, alpha) -> TT:
+    cores = list(a.cores)
+    cores[0] = cores[0] * alpha
+    return TT(cores)
+
+
+def tt_add(a: TT, b: TT) -> TT:
+    """TT sum via block-diagonal core concatenation."""
+    if a.n != b.n:
+        raise ValueError(f"mode mismatch {a.n} vs {b.n}")
+    d = a.d
+    if d == 1:
+        return TT([a.cores[0] + b.cores[0]])
+    cores = []
+    for k in range(d):
+        ca, cb = a.cores[k], b.cores[k]
+        ra1, n, ra2 = ca.shape
+        rb1, _, rb2 = cb.shape
+        if k == 0:
+            if ra1 != rb1:
+                raise ValueError("left boundary ranks must match")
+            c = jnp.concatenate([ca, cb], axis=2)
+        elif k == d - 1:
+            if ra2 != rb2:
+                raise ValueError("right boundary ranks must match")
+            c = jnp.concatenate([ca, cb], axis=0)
+        else:
+            top = jnp.concatenate(
+                [ca, jnp.zeros((ra1, n, rb2), dtype=ca.dtype)], axis=2)
+            bot = jnp.concatenate(
+                [jnp.zeros((rb1, n, ra2), dtype=ca.dtype), cb], axis=2)
+            c = jnp.concatenate([top, bot], axis=0)
+        cores.append(c)
+    return TT(cores)
+
+
+def tt_hadamard(a: TT, b: TT) -> TT:
+    """Elementwise product: ranks multiply."""
+    if a.n != b.n:
+        raise ValueError("mode mismatch")
+    cores = []
+    for ca, cb in zip(a.cores, b.cores):
+        c = jnp.einsum("aib,cid->acibd", ca, cb)
+        r1 = ca.shape[0] * cb.shape[0]
+        r2 = ca.shape[2] * cb.shape[2]
+        cores.append(jnp.reshape(c, (r1, ca.shape[1], r2)))
+    return TT(cores)
+
+
+def tt_orthogonalize(a: TT, left: bool = True) -> TT:
+    """QR-orthogonalize all cores except the last (left=True) or first."""
+    cores = list(a.cores)
+    d = len(cores)
+    if left:
+        for k in range(d - 1):
+            r1, n, r2 = cores[k].shape
+            q, rmat = jnp.linalg.qr(jnp.reshape(cores[k], (r1 * n, r2)))
+            rnew = q.shape[1]
+            cores[k] = jnp.reshape(q, (r1, n, rnew))
+            nxt = cores[k + 1]
+            cores[k + 1] = jnp.einsum("ab,bic->aic", rmat, nxt)
+    else:
+        for k in range(d - 1, 0, -1):
+            r1, n, r2 = cores[k].shape
+            q, rmat = jnp.linalg.qr(jnp.reshape(cores[k], (r1, n * r2)).T)
+            rnew = q.shape[1]
+            cores[k] = jnp.reshape(q.T, (rnew, n, r2))
+            prev = cores[k - 1]
+            cores[k - 1] = jnp.einsum("aib,cb->aic", prev, rmat)
+    return TT(cores)
+
+
+def tt_round(a: TT, eps: float = 0.0, rmax=None) -> TT:
+    """TT rounding: right-orthogonalize, then left-to-right SVD truncation.
+
+    ``rmax`` may be a scalar or a per-bond sequence (d+1 entries, interior
+    entries used), mirroring the per-dimension rank vectors the reference
+    passes as ``y0`` (tt_dirt_approx.m:117-122, round at :383).
+    """
+    d = a.d
+    if d == 1:
+        return TT(list(a.cores))
+    a = tt_orthogonalize(a, left=False)
+    cores = list(a.cores)
+    nrm = jnp.linalg.norm(jnp.reshape(cores[0], (-1,)))
+    delta = float(eps) / math.sqrt(max(d - 1, 1)) * float(nrm)
+    if np.isscalar(rmax) or rmax is None:
+        rmax_vec = [rmax] * (d + 1)
+    else:
+        rmax_vec = list(rmax)
+        if len(rmax_vec) == d - 1:  # interior bonds only
+            rmax_vec = [None] + rmax_vec + [None]
+    for k in range(d - 1):
+        r1, n, r2 = cores[k].shape
+        mat = jnp.reshape(cores[k], (r1 * n, r2))
+        u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+        r = _chop_rank(s, delta, rmax_vec[k + 1])
+        cores[k] = jnp.reshape(u[:, :r], (r1, n, r))
+        sv = s[:r, None] * vt[:r, :]
+        cores[k + 1] = jnp.einsum("ab,bic->aic", sv, cores[k + 1])
+    return TT(cores)
+
+
+# ---------------------------------------------------------------------------
+# Constructors
+# ---------------------------------------------------------------------------
+
+def tt_rand(n, d: int | None = None, r=2, key=None, dtype=None) -> TT:
+    """Random TT with mode sizes ``n`` and (interior) rank ``r``."""
+    if np.isscalar(n):
+        n = [int(n)] * int(d)
+    else:
+        n = [int(x) for x in n]
+    d = len(n)
+    if np.isscalar(r):
+        ranks = [1] + [int(r)] * (d - 1) + [1]
+    else:
+        ranks = [int(x) for x in r]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    dtype = dtype or jnp.float64
+    keys = jax.random.split(key, d)
+    cores = [
+        jax.random.normal(keys[k], (ranks[k], n[k], ranks[k + 1]), dtype=dtype)
+        for k in range(d)
+    ]
+    return TT(cores)
+
+
+def tt_ones(n, d: int | None = None, dtype=None) -> TT:
+    if np.isscalar(n):
+        n = [int(n)] * int(d)
+    else:
+        n = [int(x) for x in n]
+    dtype = dtype or jnp.float64
+    return TT([jnp.ones((1, nk, 1), dtype=dtype) for nk in n])
+
+
+def tt_meshgrid(grids: Sequence[jnp.ndarray]) -> list:
+    """List of d rank-1 TTs: the i-th equals coordinate x_i on the product
+    grid (reference: TT-Toolbox ``tt_meshgrid_vert`` used at
+    tt_dirt_approx.m:142-145)."""
+    d = len(grids)
+    grids = [jnp.asarray(g).reshape(-1) for g in grids]
+    out = []
+    for i in range(d):
+        cores = []
+        for k in range(d):
+            if k == i:
+                cores.append(jnp.reshape(grids[k], (1, -1, 1)))
+            else:
+                cores.append(jnp.ones((1, grids[k].shape[0], 1),
+                                      dtype=grids[i].dtype))
+        out.append(TT(cores))
+    return out
+
+
+def tkron(a: TT, b: TT) -> TT:
+    """Mode concatenation: result has a's dims followed by b's dims
+    (TT-Toolbox ``tkron`` semantics, used at test_diffusion_tt.m:92-103)."""
+    if a.cores[-1].shape[2] != 1 or b.cores[0].shape[0] != 1:
+        raise ValueError("tkron requires unit inner boundary ranks")
+    return TT(list(a.cores) + list(b.cores))
+
+
+# ---------------------------------------------------------------------------
+# Contractions
+# ---------------------------------------------------------------------------
+
+def tt_sum_modes(a: TT, weights: Sequence) -> TT | jnp.ndarray:
+    """Contract per-mode weight vectors (entries of ``weights`` that are not
+    None) out of the TT; keeps remaining modes as a smaller TT.
+
+    Generalizes the reference's marginal diagnostics
+    ``dot(tt_ones(...), F, i, j)`` (tt_dirt_approx.m:205-209).
+    Returns a dense scalar/array when all modes are contracted.
+    """
+    if len(weights) != a.d:
+        raise ValueError("need one weight (or None) per mode")
+    cores = []
+    carry = None  # (r_left_kept, r_cur) matrix pending absorption
+    for k in range(a.d):
+        c = a.cores[k]
+        if carry is not None:
+            c = jnp.einsum("ab,bic->aic", carry, c)
+            carry = None
+        w = weights[k]
+        if w is None:
+            cores.append(c)
+        else:
+            w = jnp.asarray(w).reshape(-1)
+            carry = jnp.einsum("aic,i->ac", c, w)
+    if carry is not None:
+        if cores:
+            last = cores.pop()
+            cores.append(jnp.einsum("aib,bc->aic", last, carry))
+        else:
+            return jnp.squeeze(carry)
+    return TT(cores)
+
+
+def tt_mean_field(a: TT, dim: int) -> jnp.ndarray:
+    """1-D marginal along ``dim`` by summing all other modes with ones."""
+    weights = [jnp.ones((nk,), dtype=a.dtype) for nk in a.n]
+    weights[dim] = None
+    out = tt_sum_modes(a, weights)
+    return jnp.squeeze(tt_full(out))
+
+
+def tt_eval_indices(t: TT, ind: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate the TT at M multi-indices (M x d int array) -> (M,) values
+    (or (M, b) for block tensors with right boundary rank b).
+
+    This is the batched "gather cores and chain-multiply" primitive that
+    replaces per-sample loops (reference tt_sample_lagr.m:24-50 does this
+    sample-by-sample)."""
+    ind = jnp.asarray(ind)
+    M = ind.shape[0]
+    r0 = t.cores[0].shape[0]
+    prefix = jnp.ones((M, r0), dtype=t.dtype)
+    for k in range(t.d):
+        gathered = jnp.take(t.cores[k], ind[:, k], axis=1)  # (r1, M, r2)
+        prefix = jnp.einsum("ma,amb->mb", prefix, gathered)
+    if prefix.shape[1] == 1:
+        return prefix[:, 0]
+    return prefix

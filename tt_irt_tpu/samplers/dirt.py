@@ -1,0 +1,145 @@
+"""Deep Inverse Rosenblatt Transport: the layered transform stack.
+
+Reference: matlab/samplers/tt_dirt_sample.m, tt_dirt_inverse.m and the
+IRTstruct checkpoint format (constructors/README.md:13-27).  The stack is
+a pytree — TT cores, grids and the tempering ladder are leaves — so a
+trained DIRT serializes with orbax and passes through jit boundaries
+unchanged, and construction is resumable by appending levels
+(tt_dirt_approx.m:154-173 semantics, see constructors/dirt_build.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.tt import TT
+from .irt import tt_irt_sqr, tt_rt_sqr
+from .reference import (
+    reference_sigma,
+    tnormal_logdensity_shift,
+    tnormal_to_uniform,
+    uniform_to_tnormal,
+)
+
+__all__ = ["DIRT", "tt_dirt_sample", "tt_dirt_inverse"]
+
+
+@jax.tree_util.register_pytree_node_class
+class DIRT:
+    """DIRT stack: level-0 sqrt-density + L sqrt-ratio TTs over a beta
+    ladder.  This is the checkpoint format: a plain pytree of arrays."""
+
+    __slots__ = ("f0", "fs", "x0", "x", "beta", "lfshift", "reference",
+                 "interpolation", "evalcnt", "fprev")
+
+    def __init__(self, f0: TT, fs: Sequence[TT], x0, x, beta,
+                 lfshift=0.0, reference: str = "uniform",
+                 interpolation: str = "spline", evalcnt=None, fprev=None):
+        self.f0 = f0
+        self.fs = tuple(fs)
+        self.x0 = [jnp.asarray(g).reshape(-1) for g in x0]
+        self.x = [jnp.asarray(g).reshape(-1) for g in x] if x is not None else []
+        self.beta = jnp.asarray(beta)
+        self.lfshift = lfshift
+        self.reference = reference
+        self.interpolation = interpolation
+        self.evalcnt = evalcnt if evalcnt is not None else np.zeros(0, np.int64)
+        self.fprev = fprev
+
+    @property
+    def nlevels(self) -> int:
+        return len(self.fs)
+
+    @property
+    def d(self) -> int:
+        return self.f0.d
+
+    @property
+    def sigma(self) -> Optional[float]:
+        return reference_sigma(self.reference)
+
+    def tree_flatten(self):
+        leaves = (self.f0, self.fs, self.x0, self.x, self.beta, self.lfshift)
+        aux = (self.reference, self.interpolation, self.evalcnt, self.fprev)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        f0, fs, x0, x, beta, lfshift = leaves
+        return cls(f0, fs, x0, x, beta, lfshift,
+                   reference=aux[0], interpolation=aux[1],
+                   evalcnt=aux[2], fprev=aux[3])
+
+    def __repr__(self):
+        return (f"DIRT(d={self.d}, levels={self.nlevels}, "
+                f"beta={np.asarray(self.beta)}, reference={self.reference!r}, "
+                f"interpolation={self.interpolation!r})")
+
+
+def _level_irt(dirt: DIRT, f: TT, z):
+    if dirt.interpolation.startswith("s"):
+        return tt_irt_sqr(dirt.x, f, z)
+    from .fourier import tt_irt_fourier
+
+    return tt_irt_fourier(dirt.x, f, z)
+
+
+def tt_dirt_sample(dirt: DIRT, q, logpostfun=None):
+    """Push reference-space seeds through the DIRT stack (levels L..1,
+    then the level-0 spline IRT — tt_dirt_sample.m:33-73).
+
+    Args:
+      q: (M, d) seeds — [0,1]^d for uniform reference, (-S,S]^d truncated
+         normal otherwise.
+      logpostfun: optional exact log-density, evaluated at the output.
+    Returns:
+      (z, lFapp) or (z, lFapp, lFex): samples, log pushforward density,
+      and exact log-density if requested.
+    """
+    sigma = dirt.sigma
+    z = jnp.asarray(q)
+    lfapp = jnp.zeros((z.shape[0],), z.dtype)
+    for j in range(dirt.nlevels - 1, -1, -1):
+        if sigma is not None:
+            z = tnormal_to_uniform(z, sigma)
+        z, dlf = _level_irt(dirt, dirt.fs[j], z)
+        lfapp = lfapp + dlf
+        if sigma is not None:
+            # subtract the reference log-density at the new points
+            lfapp = lfapp - tnormal_logdensity_shift(z, sigma)
+    if sigma is not None:
+        z = tnormal_to_uniform(z, sigma)
+    # Level 0 is always spline: the un-tempered density is not band-limited
+    # (tt_dirt_sample.m:69-71).
+    z, dlf = tt_irt_sqr(dirt.x0, dirt.f0, z)
+    lfapp = lfapp + dlf
+    if logpostfun is not None:
+        return z, lfapp, logpostfun(z)
+    return z, lfapp
+
+
+def tt_dirt_inverse(dirt: DIRT, x):
+    """Inverse map sample-space -> reference-space (tt_dirt_inverse.m):
+    level 0 forward-Rosenblatt first, then levels 1..L."""
+    if not dirt.interpolation.startswith("s"):
+        raise NotImplementedError(
+            "dirt_inverse supports spline interpolation only "
+            "(matches the reference guard, tt_dirt_inverse.m:14-19)")
+    sigma = dirt.sigma
+    q = jnp.asarray(x)
+    q, lfapp = tt_rt_sqr(dirt.x0, dirt.f0, q)
+    if sigma is not None:
+        q = uniform_to_tnormal(q, sigma)
+    for j in range(dirt.nlevels):
+        if sigma is not None:
+            # remove reference log-density (constant dropped as in :51)
+            lfapp = lfapp + 0.5 * jnp.sum(q * q, axis=-1)
+        q, dlf = tt_rt_sqr(dirt.x, dirt.fs[j], q)
+        lfapp = lfapp + dlf
+        if sigma is not None:
+            q = uniform_to_tnormal(q, sigma)
+    return q, lfapp
