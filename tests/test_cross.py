@@ -1,0 +1,128 @@
+"""Tests for the AMEn TT-cross constructor."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tt_irt_tpu import amen_cross_s, tt_full, tt_meshgrid, tt_rand
+from tt_irt_tpu.ops.tt import tt_eval_indices
+
+
+def test_cross_separable_exact(rng):
+    # rank-1 function: f(i1,i2,i3) = a[i1] b[i2] c[i3]
+    n = [8, 9, 7]
+    vecs = [rng.random(nk) + 0.5 for nk in n]
+
+    def fun(ind):
+        ind = np.asarray(ind)
+        return vecs[0][ind[:, 0]] * vecs[1][ind[:, 1]] * vecs[2][ind[:, 2]]
+
+    res = amen_cross_s(n, fun, 1e-10, nswp=6, kickrank=2, verb=0)
+    full = np.asarray(tt_full(res.tt))
+    ref = np.einsum("i,j,k->ijk", *vecs)
+    np.testing.assert_allclose(full, ref, rtol=1e-9)
+    assert res.evalcnt[0] > 0
+
+
+def test_cross_inverse_norm_50d():
+    # the reference's own benchmark function (amen_cross_s.m:74-78):
+    # f(i) = 1/sqrt(sum i^2), 50 dims; here a scaled-down version
+    d, n = 20, 32
+
+    def fun(ind):
+        ind = np.asarray(ind) + 1.0
+        return 1.0 / np.sqrt(np.sum(ind**2, axis=1))
+
+    res = amen_cross_s([n] * d, fun, 1e-6, nswp=12, kickrank=4, verb=0)
+    # validate on random entries
+    rng = np.random.default_rng(0)
+    probe = rng.integers(0, n, size=(200, d))
+    approx = np.asarray(tt_eval_indices(res.tt, jnp.asarray(probe)))
+    exact = fun(probe)
+    rel = np.max(np.abs(approx - exact) / np.abs(exact))
+    assert rel < 1e-4, rel
+
+
+def test_cross_elementwise_mode(rng):
+    # ffun mode: function of meshgrid TT values
+    grids = [np.linspace(0.1, 1.0, 9) for _ in range(4)]
+    xs = tt_meshgrid([jnp.asarray(g) for g in grids])
+
+    def fun(v):
+        v = np.asarray(v)
+        return np.exp(-np.sum(v**2, axis=1))
+
+    res = amen_cross_s(xs, fun, 1e-8, nswp=8, kickrank=3, verb=0)
+    mesh = np.meshgrid(*grids, indexing="ij")
+    ref = np.exp(-sum(m**2 for m in mesh))
+    np.testing.assert_allclose(np.asarray(tt_full(res.tt)), ref, atol=1e-6)
+    assert res.evalcnt[1] > 0 and res.evalcnt[0] == 0
+
+
+def test_cross_stats(rng):
+    n = [12, 12, 12]
+    grids = [np.linspace(-1, 2, nk) for nk in n]
+
+    def fun(ind):
+        ind = np.asarray(ind)
+        x = np.stack([grids[k][ind[:, k]] for k in range(3)], axis=1)
+        return np.sum(x, axis=1)
+
+    res = amen_cross_s(n, fun, 1e-10, nswp=6, stats=("lr", "sr"))
+    # max of sum = 3*2=6 at last grid point, min = -3 at first
+    assert res.statvals is not None
+    np.testing.assert_allclose(res.statvals[0], 6.0, atol=1e-10)
+    np.testing.assert_allclose(res.statvals[1], -3.0, atol=1e-10)
+    np.testing.assert_array_equal(res.statind[0], [11, 11, 11])
+    np.testing.assert_array_equal(res.statind[1], [0, 0, 0])
+
+
+def test_cross_tt_initial_guess(rng):
+    n = [10, 10, 10]
+
+    def fun(ind):
+        ind = np.asarray(ind)
+        return np.cos(0.3 * ind[:, 0]) * np.exp(-0.1 * ind[:, 1]) \
+            + 0.5 * np.sin(0.2 * ind[:, 2])
+
+    import jax
+    y0 = tt_rand(n, r=3, key=jax.random.PRNGKey(0))
+    res = amen_cross_s(n, fun, 1e-9, y0=y0, nswp=8, kickrank=3)
+    probe = np.stack(np.meshgrid(*[np.arange(nk) for nk in n],
+                                 indexing="ij"), axis=-1).reshape(-1, 3)
+    approx = np.asarray(tt_eval_indices(res.tt, jnp.asarray(probe)))
+    np.testing.assert_allclose(approx, fun(probe), atol=1e-7)
+
+
+def test_cross_nonvectorized_fun(rng):
+    n = [6, 6]
+
+    def fun_scalar(ind):
+        ind = np.asarray(ind).reshape(-1)
+        return float(ind[0]) + 10.0 * float(ind[1]) + 1.0
+
+    res = amen_cross_s(n, fun_scalar, 1e-12, vec=False, nswp=4, kickrank=2)
+    probe = np.stack(np.meshgrid(np.arange(6), np.arange(6),
+                                 indexing="ij"), axis=-1).reshape(-1, 2)
+    approx = np.asarray(tt_eval_indices(res.tt, jnp.asarray(probe)))
+    ref = probe[:, 0] + 10.0 * probe[:, 1] + 1.0
+    np.testing.assert_allclose(approx, ref, atol=1e-8)
+
+
+def test_cross_kickrank_zero(rng):
+    # fixed-rank sweep without enrichment (the DIRT fast path,
+    # test_predator_prey_dirt.m:96 uses kickrank 0)
+    n = [9, 9, 9]
+    vecs = [rng.random(9) + 0.5 for _ in range(3)]
+
+    def fun(ind):
+        ind = np.asarray(ind)
+        return (vecs[0][ind[:, 0]] * vecs[1][ind[:, 1]] * vecs[2][ind[:, 2]]
+                + 0.1 * vecs[0][ind[:, 2]])
+
+    res = amen_cross_s(n, fun, 0.0, y0=6, kickrank=0, nswp=4)
+    probe = np.stack(np.meshgrid(*[np.arange(9)] * 3,
+                                 indexing="ij"), axis=-1).reshape(-1, 3)
+    approx = np.asarray(tt_eval_indices(res.tt, jnp.asarray(probe)))
+    rel = np.linalg.norm(approx - fun(probe)) / np.linalg.norm(fun(probe))
+    assert rel < 1e-6

@@ -1,0 +1,121 @@
+"""Tests for DIRT construction and deep sampling.
+
+Strategy: targets with analytic structure (correlated Gaussians) so the
+pushforward quality is measurable exactly; resume semantics; the
+reference's ESS self-test gate; and the uniform/truncated-normal
+reference variants (tt_dirt_approx.m capabilities)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tt_irt_tpu import (
+    DIRT, essinv, hellinger, mcmc_prune, tt_dirt_approx, tt_dirt_inverse,
+    tt_dirt_sample,
+)
+
+
+def banded_gauss_logpost(x, corr=0.5):
+    quad = jnp.sum(x * x, axis=1) + \
+        2.0 * corr * jnp.sum(x[:, :-1] * x[:, 1:], axis=1)
+    return -0.5 * quad
+
+
+def logratio(x, b0, b1, corr=0.5):
+    return (b1 - b0) * banded_gauss_logpost(x, corr)
+
+
+D = 4
+GRIDS = [np.linspace(-5, 5, 17) for _ in range(D)]
+BETA = [0.1, 0.3, 1.0]
+
+
+@pytest.fixture(scope="module")
+def trained_dirt():
+    return tt_dirt_approx(
+        GRIDS, logratio, BETA, stoptol=0.1, nswp=3, kickrank=2,
+        testsamples=512, verb=0, seed=3)
+
+
+def test_dirt_quality(trained_dirt):
+    key = jax.random.PRNGKey(7)
+    q = jax.random.uniform(key, (4096, D), dtype=jnp.float64)
+    z, lfapp, lfex = tt_dirt_sample(
+        trained_dirt, q, lambda x: logratio(x, 0.0, 1.0))
+    tau = float(essinv(lfex, lfapp))
+    hl = float(hellinger(lfex, lfapp))
+    assert tau < 1.5, tau
+    assert hl < 0.25, hl
+    res = mcmc_prune(z, lfex, lfapp, key=jax.random.PRNGKey(8))
+    rej = float(res.num_rejects) / q.shape[0]
+    assert rej < 0.25, rej
+    # posterior covariance check
+    prec = np.eye(D) + 0.5 * (np.eye(D, k=1) + np.eye(D, k=-1))
+    cov = np.linalg.inv(prec)
+    emp = np.cov(np.asarray(res.y).T)
+    assert np.max(np.abs(emp - cov)) < 0.15
+
+
+def test_dirt_inverse_roundtrip(trained_dirt):
+    key = jax.random.PRNGKey(11)
+    q = jax.random.uniform(key, (256, D), dtype=jnp.float64,
+                           minval=0.01, maxval=0.99)
+    z, lf = tt_dirt_sample(trained_dirt, q)
+    q2, lf2 = tt_dirt_inverse(trained_dirt, z)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lf2), np.asarray(lf), atol=1e-6)
+
+
+def test_dirt_resume_appends_levels(trained_dirt):
+    # build first two levels, then extend with the full ladder
+    partial = tt_dirt_approx(
+        GRIDS, logratio, BETA[:2], stoptol=0.1, nswp=3, kickrank=2,
+        testsamples=256, verb=0, seed=3)
+    assert partial.nlevels == 1
+    full = tt_dirt_approx(
+        GRIDS, logratio, BETA, stoptol=0.1, nswp=3, kickrank=2,
+        testsamples=256, verb=0, seed=3, irtstruct=partial)
+    assert full.nlevels == 2
+    assert np.allclose(np.asarray(full.beta), BETA)
+    q = jax.random.uniform(jax.random.PRNGKey(1), (512, D),
+                           dtype=jnp.float64)
+    z, lfapp, lfex = tt_dirt_sample(
+        full, q, lambda x: logratio(x, 0.0, 1.0))
+    assert float(essinv(lfex, lfapp)) < 2.0
+
+
+def test_dirt_normal_reference():
+    dirt = tt_dirt_approx(
+        GRIDS, logratio, BETA, stoptol=0.15, nswp=3, kickrank=2,
+        testsamples=512, verb=0, seed=5, reference="normal 4", nq=[17] * D)
+    assert dirt.sigma == 4.0
+    key = jax.random.PRNGKey(2)
+    from tt_irt_tpu import randref
+
+    q = randref("normal 4", key, (2048, D))
+    z, lfapp, lfex = tt_dirt_sample(
+        dirt, q, lambda x: logratio(x, 0.0, 1.0))
+    tau = float(essinv(lfex, lfapp))
+    assert tau < 2.0, tau
+
+
+def test_dirt_is_pytree(trained_dirt):
+    leaves = jax.tree_util.tree_leaves(trained_dirt)
+    assert len(leaves) > 0
+    rebuilt = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(trained_dirt), leaves)
+    assert isinstance(rebuilt, DIRT)
+    q = jax.random.uniform(jax.random.PRNGKey(0), (64, D),
+                           dtype=jnp.float64)
+    z1, l1 = tt_dirt_sample(trained_dirt, q)
+    z2, l2 = tt_dirt_sample(rebuilt, q)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2))
+
+
+def test_dirt_ess_gate_raises():
+    # an impossible quality gate must trigger the bounded-recompute error
+    with pytest.raises(RuntimeError, match="giving up"):
+        tt_dirt_approx(
+            GRIDS, logratio, BETA, stoptol=0.5, nswp=1, kickrank=0, y0=1,
+            testsamples=256, verb=0, seed=0, recompute=1.0 + 1e-9)

@@ -84,17 +84,21 @@ def _merge_full(jl, n, jr):
 def _interfaces_indep_right(xcores_list, ind):
     """Right interface chains of each TT in ``xcores_list`` at independent
     multi-indices ``ind[:, i:]`` (ind is (nq, d)).  Returns list over bonds
-    i=0..d of lists over tensors: (rx_i, nq) arrays."""
+    i=0..d of lists over tensors: (rx_i, nq) arrays for interior bonds and
+    (rx_d, 1) at the right boundary (the right index set is empty there,
+    matching YX{d+1}=eye of amen_cross_s.m:207)."""
     d = len(xcores_list[0])
     nx = len(xcores_list)
     nq = ind.shape[0]
     out = [[None] * nx for _ in range(d + 1)]
     for j in range(nx):
-        out[d][j] = np.ones((1, nq))
+        out[d][j] = np.ones((1, 1))
+        carry = np.ones((1, nq))               # per-sample chain
         for i in range(d - 1, -1, -1):
             core = xcores_list[j][i]           # (r1, n, r2)
             g = core[:, ind[:, i], :]          # (r1, nq, r2)
-            out[i][j] = np.einsum("aqb,bq->aq", g, out[i + 1][j])
+            carry = np.einsum("aqb,bq->aq", g, carry)
+            out[i][j] = carry
     return out
 
 
