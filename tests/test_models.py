@@ -1,0 +1,129 @@
+"""Tests for the ODE integrators and the Lorenz / predator-prey models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tt_irt_tpu import essinv, mcmc_prune, randref, tt_dirt_approx, \
+    tt_dirt_sample
+from tt_irt_tpu.models.ode import dopri5_step, integrate_observed, \
+    integrate_to, rk4
+from tt_irt_tpu.models import lorenz as lz
+from tt_irt_tpu.models import predator_prey as pp
+
+
+def test_integrator_linear_exact():
+    # dy/dt = A y with known matrix exponential
+    a = jnp.asarray([[0.0, 1.0], [-1.0, 0.0]])  # rotation
+
+    def rhs(t, y):
+        return y @ a.T
+
+    y0 = jnp.asarray([[1.0, 0.0], [0.0, 2.0]])
+    t1 = 1.5
+    y = integrate_to(rhs, y0, 0.0, t1, steps=50)
+    rot = np.array([[np.cos(t1), np.sin(t1)], [-np.sin(t1), np.cos(t1)]])
+    np.testing.assert_allclose(np.asarray(y), y0 @ rot.T, atol=1e-9)
+    yr = integrate_to(rhs, y0, 0.0, t1, steps=200, method="rk4")
+    np.testing.assert_allclose(np.asarray(yr), y0 @ rot.T, atol=1e-8)
+
+
+def test_integrate_observed_consistency():
+    def rhs(t, y):
+        return -0.5 * y
+
+    y0 = jnp.ones((3, 2))
+    ts = jnp.asarray([0.0, 1.0, 2.0, 4.0])
+    states = integrate_observed(rhs, y0, ts, steps_per_interval=32)
+    assert states.shape == (4, 3, 2)
+    for i, t in enumerate(np.asarray(ts)):
+        np.testing.assert_allclose(np.asarray(states[i]),
+                                   np.exp(-0.5 * t) * np.ones((3, 2)),
+                                   atol=1e-9)
+
+
+def test_lorenz_rhs_cyclic():
+    d = 6
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, d)))
+    f = lz.lorenz_rhs(0.0, x)
+    xn = np.asarray(x)
+    for i in range(d):
+        expect = (xn[:, (i + 1) % d] - xn[:, (i - 2) % d]) * \
+            xn[:, (i - 1) % d] - xn[:, i] + 8.0
+        np.testing.assert_allclose(np.asarray(f[:, i]), expect, atol=1e-12)
+
+
+def test_lorenz_ll_peak_at_truth():
+    prob = lz.LorenzProblem(d=6, seed=1, sigma_n=0.2)
+    lp = prob.log_posterior_fn()
+    x_true = jnp.asarray(prob.x0true)[None, :]
+    rng = np.random.default_rng(2)
+    x_far = x_true + jnp.asarray(rng.standard_normal((16, 6)))
+    l_true = float(lp(x_true)[0])
+    l_far = np.asarray(lp(x_far))
+    assert np.all(l_far < l_true)
+
+
+def test_lorenz_dirt_end_to_end():
+    prob = lz.LorenzProblem(d=4, seed=3, sigma_n=0.2, n=13)
+    dirt = tt_dirt_approx(
+        prob.grids(), prob.tempered_logratio_fn(),
+        [0.01, 0.1, 1.0], nswp=1, kickrank=0, y0=8, boundary=True,
+        stoptol=0.1, reference="n3", testsamples=256, seed=0)
+    q = randref("n3", jax.random.PRNGKey(5), (2048, 4))
+    z, lfapp, lfex = tt_dirt_sample(dirt, q, prob.log_posterior_fn())
+    tau = float(essinv(lfex, lfapp))
+    assert tau < 5.0, tau
+    res = mcmc_prune(z, lfex, lfapp, key=jax.random.PRNGKey(6))
+    post_mean = np.asarray(res.y).mean(axis=0)
+    # posterior concentrates near the truth (sigma_n=0.2 noise)
+    assert np.max(np.abs(post_mean - prob.x0true)) < 0.5
+
+
+def test_pp_rhs_dynamics():
+    prob = pp.PredatorPreyProblem(seed=0)
+    states = integrate_observed(
+        pp.pp_rhs_factory(jnp.asarray(prob.xtrue)[None, :]),
+        jnp.asarray(prob.xtrue[:2])[None, :],
+        jnp.asarray(prob.obs_times), 64)[:, 0, :]
+    s = np.asarray(states)
+    # predator-prey oscillation: prey population stays positive + bounded
+    assert np.all(s > 0)
+    assert np.all(s[:, 0] < 150)
+    # against the shipped paper data: same trajectory scale
+    paper = pp.paper_observables()
+    assert np.max(np.abs(s - paper)) < 12.0  # paper data has noise var 2
+
+
+def test_pp_loglikelihood_normalized_peak():
+    prob = pp.PredatorPreyProblem(seed=1)
+    lp = prob.log_posterior_fn()
+    ones = jnp.ones((1, 8))
+    l_true = float(lp(ones)[0])
+    rng = np.random.default_rng(3)
+    x_off = jnp.asarray(1.0 + 0.3 * rng.standard_normal((8, 8)))
+    x_off = jnp.clip(x_off, 0.6, 1.6)
+    assert np.all(np.asarray(lp(x_off)) <= l_true + 1e-9)
+
+
+@pytest.mark.slow
+def test_pp_dirt_end_to_end():
+    # Reference configuration: beta=10^(-4:0.5:0), R0=13, n=18, 'n4'
+    # (test_predator_prey_dirt.m:52-97)
+    prob = pp.PredatorPreyProblem(seed=2, steps_per_interval=32)
+    dirt = tt_dirt_approx(
+        prob.grids(), prob.tempered_logratio_fn(),
+        10.0 ** np.arange(-4, 0.5, 0.5), nswp=1, kickrank=0, y0=13,
+        boundary=True, stoptol=0.1, reference="n4", testsamples=128,
+        seed=0)
+    q = randref("n4", jax.random.PRNGKey(5), (1024, 8))
+    z, lfapp, lfex = tt_dirt_sample(dirt, q, prob.log_posterior_fn())
+    tau = float(essinv(lfex, lfapp))
+    assert tau < 5.0, tau
+    res = mcmc_prune(z, lfex, lfapp, key=jax.random.PRNGKey(6))
+    rej = float(res.num_rejects) / 1024
+    assert rej < 0.55, rej
+    # normalized posterior mean near 1
+    post_mean = np.asarray(res.y).mean(axis=0)
+    assert np.max(np.abs(post_mean - 1.0)) < 0.15
