@@ -1,0 +1,76 @@
+"""Headline benchmark: IRT inversion throughput at the BASELINE.json
+north-star configuration — 2^20 samples, d=40, n=17 grid, TT ranks ~13
+(the Lorenz-40 scale, BASELINE.md "driver north-star").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against the north-star target rate of
+2^20 samples / 1 s (the reference C kernel takes tens of seconds for
+this workload on CPU; the in-repo target is the <1 s TPU figure).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import tt_irt_tpu as ti  # noqa: E402
+
+
+def build_tt(d: int, n: int, rank: int, seed: int = 0) -> ti.TT:
+    """Deterministic positive sqrt-density TT at the stress shape: smooth
+    rank-`rank` cores (random Fourier features of the grid, softplus'd so
+    the implied density is strictly positive and well-conditioned)."""
+    rng = np.random.default_rng(seed)
+    x = np.linspace(-1.0, 1.0, n)
+    cores = []
+    for k in range(d):
+        r1 = 1 if k == 0 else rank
+        r2 = 1 if k == d - 1 else rank
+        w = rng.standard_normal((r1, 3, r2)) / np.sqrt(3 * max(r1, 1))
+        feats = np.stack([np.ones_like(x), np.sin(np.pi * x),
+                          np.cos(np.pi * x)], axis=0)
+        core = np.einsum("afb,fn->anb", w, feats)
+        core = np.log1p(np.exp(core))  # softplus: positive, smooth
+        cores.append(jnp.asarray(core))
+    return ti.TT(cores)
+
+
+def main():
+    d, n, rank = 40, 17, 13
+    log2m = int(os.environ.get("BENCH_LOG2M", 20))
+    m = 1 << log2m
+    tt = build_tt(d, n, rank)
+    grids = [jnp.asarray(np.linspace(-2.0, 2.0, n)) for _ in range(d)]
+    q = jax.random.uniform(jax.random.PRNGKey(1), (m, d),
+                           dtype=jnp.float64)
+
+    # warm-up / compile
+    xq, lf = ti.tt_irt_sqr(grids, tt, q)
+    xq.block_until_ready()
+
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        xq, lf = ti.tt_irt_sqr(grids, tt, q)
+        xq.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+
+    rate = m / best
+    target = (1 << 20) / 1.0  # north star: 2^20 samples in 1 s
+    print(json.dumps({
+        "metric": f"tt_irt_sqr samples/sec (d={d}, n={n}, r={rank}, M=2^{log2m})",
+        "value": rate,
+        "unit": "samples/sec",
+        "vs_baseline": rate / target,
+    }))
+
+
+if __name__ == "__main__":
+    main()

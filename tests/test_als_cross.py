@@ -1,0 +1,188 @@
+"""Tests for ALS-Cross and the diffusion forward/inverse pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tt_irt_tpu import TT, als_cross_parametric, amen_cross_s
+from tt_irt_tpu.ops.tt import tt_eval_indices, tt_full, tt_reverse
+from tt_irt_tpu.models import diffusion as df
+
+
+def _affine_coeff_tt(base, w1, w2, y1, y2):
+    """Block-TT coefficient c(x, y1, y2) = base + y1 w1 + y2 w2 with
+    Mc=1 left boundary rank."""
+    nx = base.shape[0]
+    n1, n2 = y1.shape[0], y2.shape[0]
+    # spatial core (1, nx, 3): [base, w1, w2]
+    c0 = np.stack([base, w1, w2], axis=1)[None]
+    # param core 1 (3, n1, 2): keeps [1, y1-part] structure
+    p1 = np.zeros((3, n1, 2))
+    p1[0, :, 0] = 1.0
+    p1[1, :, 1] = 1.0
+    p1[2, :, 0] = 0.0
+    p1[1, :, 0] = 0.0
+    # route: channel0 = base + y2 w2 needs w2 through; use 2 channels:
+    # ch0: const 1 (for base), ch1: y1 (for w1) -- but w2*y2 needs a
+    # third; redo with explicit 3-channel structure
+    p1 = np.zeros((3, n1, 3))
+    p1[0, :, 0] = 1.0
+    p1[1, :, 1] = y1
+    p1[2, :, 2] = 1.0
+    p2 = np.zeros((3, n2, 1))
+    p2[0, :, 0] = 1.0
+    p2[1, :, 0] = 1.0
+    p2[2, :, 0] = y2
+    return TT([jnp.asarray(c0), jnp.asarray(p1), jnp.asarray(p2)])
+
+
+def _linear_system_setup():
+    """Manufactured system that is genuinely *linear* in the coefficient
+    (the ALS-Cross contract, als_cross_parametric.m:24):
+    A(c) = diag(c) @ D,  F(c) = M @ c  ->  u = (diag(c) D)^-1 M c."""
+    nx, n1, n2 = 20, 7, 6
+    x = np.linspace(0, 1, nx)
+    base = 2.0 + np.sin(2 * np.pi * x)
+    w1 = 0.3 * np.cos(np.pi * x)
+    w2 = 0.2 * x
+    y1 = np.linspace(-1, 1, n1)
+    y2 = np.linspace(-1, 1, n2)
+    coeff = _affine_coeff_tt(base, w1, w2, y1, y2)
+    dmat = np.eye(nx) * 2.0 - np.eye(nx, k=1) - np.eye(nx, k=-1)
+    mmat = np.eye(nx) + 0.1 * np.eye(nx, k=1)
+
+    state = {"first": True}
+
+    def assem(ci):
+        ci = np.asarray(ci)
+        r = ci.shape[2]
+        amats = [np.diag(ci[0, :, j]) @ dmat for j in range(r)]
+        fs = [mmat @ ci[0, :, j] for j in range(r)]
+        us = [np.linalg.solve(amats[j], fs[j]) for j in range(r)]
+        if state["first"]:
+            state["first"] = False
+            return np.stack(us, 1), amats, np.stack(fs, 1)
+        return np.stack(us, 1)
+
+    full = np.zeros((nx, n1, n2))
+    for i1 in range(n1):
+        for i2 in range(n2):
+            c = base + y1[i1] * w1 + y2[i2] * w2
+            full[:, i1, i2] = np.linalg.solve(np.diag(c) @ dmat, mmat @ c)
+    return coeff, assem, state, full
+
+
+def test_als_cross_amen_converges(rng):
+    coeff, assem, state, full = _linear_system_setup()
+    res = als_cross_parametric(coeff, assem, 1e-10, nswp=5, kickrank=8)
+    uf = np.asarray(tt_full(res.u))
+    rel = np.linalg.norm(uf - full) / np.linalg.norm(full)
+    assert rel < 1e-10, rel
+    assert res.funevals > 0
+    assert res.time_extern[0] >= 0
+
+
+def test_als_cross_single_sweep_fixed_rank(rng):
+    # the diffusion configuration: nswp=1, kickrank=0, random_init
+    coeff, assem, state, full = _linear_system_setup()
+    res = als_cross_parametric(coeff, assem, 1e-6, nswp=1, kickrank=0,
+                               random_init=5)
+    uf = np.asarray(tt_full(res.u))
+    rel = np.linalg.norm(uf - full) / np.linalg.norm(full)
+    assert rel < 1e-2, rel
+
+
+# ---------------------------------------------------------------------------
+# Diffusion FEM
+# ---------------------------------------------------------------------------
+
+def test_fem_constant_coefficient_exact():
+    prob = df.DiffusionProblem(meshlevel=0)
+    u = prob.solve_one(jnp.ones((prob.n * prob.n,)))
+    u2 = np.asarray(u).reshape(prob.n, prob.n)
+    # DN problem with a=1: u = 1 - x exactly (P1 exact for linear)
+    expect = (1.0 - prob.p1)[:, None] * np.ones((1, prob.n))
+    np.testing.assert_allclose(u2, expect, atol=1e-10)
+    # exit flux of u=1-x with a=1 is 1
+    fl = prob.exit_flux(jnp.ones((prob.n * prob.n,)), u)
+    np.testing.assert_allclose(float(fl), 1.0, atol=1e-10)
+
+
+def test_fem_mms_quadratic():
+    # manufactured: a=1, compare against fine-solution convergence
+    p0 = df.DiffusionProblem(meshlevel=0)
+    p1 = df.DiffusionProblem(meshlevel=1)
+    y = np.zeros(p0.kle_dim)
+    c0 = np.exp(p0.phil @ y)  # ones
+    # random smooth coefficient via first KLE mode
+    y[0] = 1.0
+    c0 = np.exp(np.sqrt(p0.sigma) * (p0.phil @ y))
+    c1 = np.exp(np.sqrt(p1.sigma) * (p1.phil[:, :p1.kle_dim] @
+                                     np.concatenate([y, np.zeros(
+                                         p1.kle_dim - y.shape[0])])
+                                     if p1.kle_dim > y.shape[0]
+                                     else p1.phil @ y[:p1.kle_dim]))
+    u0 = np.asarray(p0.solve_one(jnp.asarray(c0))).reshape(p0.n, p0.n)
+    u1 = np.asarray(p1.solve_one(jnp.asarray(c1))).reshape(p1.n, p1.n)
+    # compare on the coarse grid (every 2nd fine node)
+    diff = np.max(np.abs(u1[::2, ::2] - u0))
+    assert diff < 5e-3, diff
+
+
+def test_diffusion_forward_pipeline(rng):
+    """Forward UQ: affine KLE TT -> exp cross -> ALS-Cross -> observables,
+    validated against direct per-sample solves (test_diffusion_tt.m flow)."""
+    prob = df.DiffusionProblem(meshlevel=0, tol_kle=3e-2)
+    ell = prob.kle_dim
+    # anisotropic Gauss grids (reference :66-74)
+    ni = np.round(8 + (2 - 8) * (np.log(prob.lam) /
+                                 np.log(prob.lam[-1]))).astype(int)
+    ni = np.maximum(ni, 2)
+    ygrids = [df.lgwt(n, -np.sqrt(3), np.sqrt(3))[0] for n in ni]
+    # affine log-coefficient TT: sum_i phil_i sqrt(sigma) x y_i
+    from tt_irt_tpu.ops.tt import tkron, tt_ones, tt_sum_many
+
+    terms = []
+    for i in range(ell):
+        cores = [jnp.asarray(
+            (prob.phil[:, i] * np.sqrt(prob.sigma))[None, :, None])]
+        for j in range(ell):
+            if j == i:
+                cores.append(jnp.asarray(ygrids[j])[None, :, None])
+            else:
+                cores.append(jnp.ones((1, len(ygrids[j]), 1)))
+        terms.append(TT(cores))
+    log_a = tt_sum_many(terms, eps=1e-12)
+    # exp via cross (elementwise mode)
+    af = amen_cross_s([log_a], lambda v: np.exp(np.asarray(v)[:, 0]),
+                      1e-6, y0=8, nswp=4, kickrank=3)
+    af_tt = af.tt
+    # prepend the coefficient block rank: Mc=1 (no separate rhs)
+    res = als_cross_parametric(af_tt, prob.assem_solve_fun(), 1e-5,
+                               pua=prob.pua(), random_init=8, nswp=1,
+                               kickrank=0)
+    u = res.u
+    # observables TT: contract Mass over the spatial core
+    u0 = np.asarray(u.cores[0][0])          # (Nxu, r1)
+    q_cols = np.stack(
+        [np.asarray(prob.observe(jnp.asarray(u0[:, j])))
+         for j in range(u0.shape[1])], axis=1)   # (m0^2, r1)
+    # fold the observation block into the first parametric core:
+    # block TT with left boundary rank m0^2
+    core1 = jnp.einsum("qa,anb->qnb", jnp.asarray(q_cols), u.cores[1])
+    uav = TT([core1] + list(u.cores[2:]))
+    # validate against direct solves at random grid points
+    lfn = prob.likelihood_fn(np.zeros(prob.m0 ** 2))
+    for _ in range(3):
+        idx = np.array([rng.integers(0, len(g)) for g in ygrids])
+        yval = np.array([g[i] for g, i in zip(ygrids, idx)])
+        # TT prediction
+        rev = tt_reverse(uav)
+        pred = np.asarray(tt_eval_indices(
+            rev, jnp.asarray(idx[::-1].copy())[None, :]))[0]
+        # direct
+        cn = np.exp(np.sqrt(prob.sigma) * (prob.phil @ yval))
+        udir = prob.solve_one(jnp.asarray(cn))
+        qdir = np.asarray(prob.observe(udir))
+        np.testing.assert_allclose(pred, qdir, rtol=2e-2, atol=1e-4)

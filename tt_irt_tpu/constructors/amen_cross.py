@@ -466,12 +466,13 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
             crs = None
             if use_kick:
                 # candidate: truncated solution projected on right residual
+                rzr = jz_r[i + 1].shape[0]
                 t3 = _fold_left(y_trunc, ry[i], n[i])     # (r1, n, r2)
                 crs_full = np.einsum("anb,bz->anz", t3, zy_r[i + 1])
                 crzex = evaluate(jy_l[i], jz_r[i + 1], yx_l, zx_r, i)
-                crzex = np.reshape(crzex, (ry[i], n[i], rz[i + 1]), order="F")
+                crzex = np.reshape(crzex, (ry[i], n[i], rzr), order="F")
                 crs = np.reshape(crzex - crs_full,
-                                 (ry[i] * n[i], rz[i + 1]), order="F")
+                                 (ry[i] * n[i], rzr), order="F")
                 crs = _truncres(crs, _kick_rank(ry[i + 1]), tol_local,
                                 rng, expand=False)
 
@@ -497,16 +498,18 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
 
             # --- residual update ---
             if use_kick:
+                rzl = jz_l[i].shape[0]
+                rzr = jz_r[i + 1].shape[0]
                 crzz = evaluate(jz_l[i], jz_r[i + 1], zx_l, zx_r, i)
-                crzz = np.reshape(crzz, (rz[i], n[i], rz[i + 1]), order="F")
+                crzz = np.reshape(crzz, (rzl, n[i], rzr), order="F")
                 t3 = _fold_left(y_trunc, ry[i], n[i])
                 proj = np.einsum("za,anb,bw->znw", zy_l[i], t3, zy_r[i + 1])
                 crz = np.reshape(crzz - proj,
-                                 (rz[i] * n[i], rz[i + 1]), order="F")
+                                 (rzl * n[i], rzr), order="F")
                 crz = _truncres(crz, _kick_rank(ry[i + 1]), tol_local,
                                 rng, expand=True)
-                rz[i + 1] = crz.shape[1]
                 indz = maxvol(crz)
+                rz[i + 1] = len(indz)
                 jz_l[i + 1] = _merge_full(jz_l[i], n[i],
                                           np.zeros((1, 0), np.int64))[indz]
                 if xcur is not None:

@@ -121,24 +121,28 @@ def tt_full(t: TT) -> jnp.ndarray:
     return jnp.reshape(out, shape)
 
 
-def tt_from_dense(a: jnp.ndarray, eps: float = 0.0, rmax: int | None = None) -> TT:
-    """TT-SVD of a dense array (sequential truncated SVDs)."""
-    a = jnp.asarray(a)
+def tt_from_dense(a, eps: float = 0.0, rmax: int | None = None) -> TT:
+    """TT-SVD of a dense array (sequential truncated SVDs).
+
+    Decomposition runs on the host (LAPACK): this is a constructor-layer
+    op on small data, and TPU f64 SVD/QR custom calls are pathologically
+    slow to compile — the hot device path never factorizes."""
+    a = np.asarray(a)
     n = a.shape
     d = len(n)
-    nrm = jnp.linalg.norm(a.ravel())
+    nrm = np.linalg.norm(a.ravel())
     delta = eps / math.sqrt(max(d - 1, 1)) * nrm
     cores = []
     r_prev = 1
-    rest = jnp.reshape(a, (r_prev * n[0], -1))
+    rest = np.reshape(a, (r_prev * n[0], -1))
     for k in range(d - 1):
-        u, s, vt = jnp.linalg.svd(rest, full_matrices=False)
+        u, s, vt = np.linalg.svd(rest, full_matrices=False)
         r = _chop_rank(s, delta, rmax)
-        cores.append(jnp.reshape(u[:, :r], (r_prev, n[k], r)))
+        cores.append(jnp.asarray(np.reshape(u[:, :r], (r_prev, n[k], r))))
         rest = s[:r, None] * vt[:r, :]
         r_prev = r
-        rest = jnp.reshape(rest, (r_prev * n[k + 1], -1))
-    cores.append(jnp.reshape(rest, (r_prev, n[d - 1], 1)))
+        rest = np.reshape(rest, (r_prev * n[k + 1], -1))
+    cores.append(jnp.asarray(np.reshape(rest, (r_prev, n[d - 1], 1))))
     return TT(cores)
 
 
@@ -224,26 +228,25 @@ def tt_hadamard(a: TT, b: TT) -> TT:
 
 
 def tt_orthogonalize(a: TT, left: bool = True) -> TT:
-    """QR-orthogonalize all cores except the last (left=True) or first."""
-    cores = list(a.cores)
+    """QR-orthogonalize all cores except the last (left=True) or first.
+    Host LAPACK (constructor-layer op; see tt_from_dense note)."""
+    cores = [np.asarray(c) for c in a.cores]
     d = len(cores)
     if left:
         for k in range(d - 1):
             r1, n, r2 = cores[k].shape
-            q, rmat = jnp.linalg.qr(jnp.reshape(cores[k], (r1 * n, r2)))
+            q, rmat = np.linalg.qr(np.reshape(cores[k], (r1 * n, r2)))
             rnew = q.shape[1]
-            cores[k] = jnp.reshape(q, (r1, n, rnew))
-            nxt = cores[k + 1]
-            cores[k + 1] = jnp.einsum("ab,bic->aic", rmat, nxt)
+            cores[k] = np.reshape(q, (r1, n, rnew))
+            cores[k + 1] = np.einsum("ab,bic->aic", rmat, cores[k + 1])
     else:
         for k in range(d - 1, 0, -1):
             r1, n, r2 = cores[k].shape
-            q, rmat = jnp.linalg.qr(jnp.reshape(cores[k], (r1, n * r2)).T)
+            q, rmat = np.linalg.qr(np.reshape(cores[k], (r1, n * r2)).T)
             rnew = q.shape[1]
-            cores[k] = jnp.reshape(q.T, (rnew, n, r2))
-            prev = cores[k - 1]
-            cores[k - 1] = jnp.einsum("aib,cb->aic", prev, rmat)
-    return TT(cores)
+            cores[k] = np.reshape(q.T, (rnew, n, r2))
+            cores[k - 1] = np.einsum("aib,cb->aic", cores[k - 1], rmat)
+    return TT([jnp.asarray(c) for c in cores])
 
 
 def tt_round(a: TT, eps: float = 0.0, rmax=None) -> TT:
@@ -252,13 +255,14 @@ def tt_round(a: TT, eps: float = 0.0, rmax=None) -> TT:
     ``rmax`` may be a scalar or a per-bond sequence (d+1 entries, interior
     entries used), mirroring the per-dimension rank vectors the reference
     passes as ``y0`` (tt_dirt_approx.m:117-122, round at :383).
+    Host LAPACK (constructor-layer op; see tt_from_dense note).
     """
     d = a.d
     if d == 1:
         return TT(list(a.cores))
     a = tt_orthogonalize(a, left=False)
-    cores = list(a.cores)
-    nrm = jnp.linalg.norm(jnp.reshape(cores[0], (-1,)))
+    cores = [np.asarray(c) for c in a.cores]
+    nrm = np.linalg.norm(np.reshape(cores[0], (-1,)))
     delta = float(eps) / math.sqrt(max(d - 1, 1)) * float(nrm)
     if np.isscalar(rmax) or rmax is None:
         rmax_vec = [rmax] * (d + 1)
@@ -268,13 +272,13 @@ def tt_round(a: TT, eps: float = 0.0, rmax=None) -> TT:
             rmax_vec = [None] + rmax_vec + [None]
     for k in range(d - 1):
         r1, n, r2 = cores[k].shape
-        mat = jnp.reshape(cores[k], (r1 * n, r2))
-        u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
+        mat = np.reshape(cores[k], (r1 * n, r2))
+        u, s, vt = np.linalg.svd(mat, full_matrices=False)
         r = _chop_rank(s, delta, rmax_vec[k + 1])
-        cores[k] = jnp.reshape(u[:, :r], (r1, n, r))
+        cores[k] = np.reshape(u[:, :r], (r1, n, r))
         sv = s[:r, None] * vt[:r, :]
-        cores[k + 1] = jnp.einsum("ab,bic->aic", sv, cores[k + 1])
-    return TT(cores)
+        cores[k + 1] = np.einsum("ab,bic->aic", sv, cores[k + 1])
+    return TT([jnp.asarray(c) for c in cores])
 
 
 # ---------------------------------------------------------------------------
@@ -381,6 +385,32 @@ def tt_mean_field(a: TT, dim: int) -> jnp.ndarray:
     weights[dim] = None
     out = tt_sum_modes(a, weights)
     return jnp.squeeze(tt_full(out))
+
+
+def tt_reverse(a: TT) -> TT:
+    """Reverse the dimension order (cores reversed, rank axes swapped).
+    Useful to move a left boundary (block) rank to the right where the
+    batched evaluators expect it."""
+    return TT([jnp.transpose(c, (2, 1, 0)) for c in reversed(a.cores)])
+
+
+def tt_sum_many(tts: Sequence[TT], weights=None, eps: float = 1e-10,
+                rmax: int | None = None) -> TT:
+    """Rounded weighted sum of several TTs (the reference relies on the
+    external TT-Toolbox ``amen_sum`` for this, used for cross-run error
+    estimates at test_shock_absorber_tt.m:150).  Tree reduction of
+    block-diagonal adds with intermediate rounding keeps ranks bounded."""
+    if weights is None:
+        weights = [1.0] * len(tts)
+    items = [tt_scale(t, w) for t, w in zip(tts, weights)]
+    while len(items) > 1:
+        nxt = []
+        for i in range(0, len(items) - 1, 2):
+            nxt.append(tt_round(tt_add(items[i], items[i + 1]), eps, rmax))
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0]
 
 
 def tt_eval_indices(t: TT, ind: jnp.ndarray) -> jnp.ndarray:

@@ -105,7 +105,13 @@ def _interp_prefix(phi, core, i0, la, lb):
     g1 = jnp.take(core, i0, axis=1)       # (r1, M, r2)
     g2 = jnp.take(core, i0 + 1, axis=1)   # (r1, M, r2)
     g = g1 * la[None, :, None] + g2 * lb[None, :, None]
-    return jnp.einsum("mi,imj->mj", phi, g)
+    phi = jnp.einsum("mi,imj->mj", phi, g)
+    # per-sample renormalization: the conditional is scale-invariant and
+    # the running product overflows the f32 exponent range of TPU f64
+    # emulation over many dims.
+    scale = jnp.maximum(jnp.max(jnp.abs(phi), axis=1, keepdims=True),
+                        1e-300)
+    return phi / scale
 
 
 def _num_blocks(m: int, mb: int) -> int:
@@ -167,28 +173,33 @@ def _canon_grid(grid, tt: TT):
 def _prepare_sqr(tt: TT, grids):
     """Right-to-left semi-marginalization for the squared (SIRT) sampler.
 
-    P_k = ∫ f^{(>=k)} ⊗ f^{(>=k)} dx_{>k} as an (r_k, r_k, n_k) field,
-    computed with the QR Gram trick of the reference (tt_irt_sqr.m:63-80):
-    the integral over x_{>k} is carried as a thin R factor, never as a
-    dense Gram matrix."""
+    P_k = ∫ f^{(>=k)} ⊗ f^{(>=k)} dx_{>k} as an (r_k, r_k, n_k) field.
+    The integral over x_{>k} is carried as the Gram matrix
+    G = ∫ f^{(>k)} f^{(>k)T}: the reference carries its thin R factor via
+    QR (tt_irt_sqr.m:63-80), but the factor only ever enters through
+    G = R R^T, so carrying G directly is exact and keeps TPU-hostile QR
+    out of the device program (f64 QR on TPU compiles pathologically
+    slowly)."""
     d = tt.d
     ps = [None] * d
     hs = [None] * d
-    rprev = jnp.eye(tt.cores[-1].shape[2], dtype=tt.dtype)
+    gram = jnp.eye(tt.cores[-1].shape[2], dtype=tt.dtype)
     for k in range(d - 1, -1, -1):
         core = tt.cores[k]
         r1, n, r2 = core.shape
         x = grids[k]
         h = _grid_spacings(x)
         hs[k] = h
-        w = jnp.concatenate([h[1:2], h[1:-1] + h[2:], h[-1:]])
-        w = jnp.sqrt(0.5 * w)
-        b = jnp.einsum("anb,bc->anc", core, rprev)      # (r1, n, rt)
-        ps[k] = jnp.einsum("anc,bnc->abn", b, b)        # (r1, r1, n)
+        w2 = 0.5 * jnp.concatenate([h[1:2], h[1:-1] + h[2:], h[-1:]])
+        t = jnp.einsum("anc,cd->and", core, gram)
+        pk = jnp.einsum("and,bnd->abn", t, core)        # (r1, r1, n)
+        ps[k] = pk
         if k > 0:
-            wb = b * w[None, :, None]
-            mat = jnp.reshape(wb, (r1, -1)).T           # (n*rt, r1)
-            rprev = jnp.linalg.qr(mat)[1].T             # (r1, rnew)
+            gram = jnp.einsum("abn,n->ab", pk, w2)
+            gram = 0.5 * (gram + gram.T)
+            # scale-invariant renormalization (TPU f64 emulation has
+            # only the f32 exponent range; products over d dims overflow)
+            gram = gram / jnp.maximum(jnp.max(jnp.abs(gram)), 1e-300)
     return ps, hs
 
 
@@ -208,6 +219,8 @@ def _prepare_lin(tt: TT, grids):
         ps[k] = b
         if k > 0:
             pprev = jnp.sum(0.5 * (b[:, :-1] + b[:, 1:]) * h[1:], axis=1)
+            # scale-invariant renormalization (see _prepare_sqr)
+            pprev = pprev / jnp.maximum(jnp.max(jnp.abs(pprev)), 1e-300)
     return ps, hs
 
 
@@ -356,7 +369,26 @@ def _rt_sqr_jit(grids, tt, x, block):
                         dsample, block)
 
 
-def tt_irt_sqr(grid, f: TT, q, block: int = _DEFAULT_BLOCK):
+def _dispatch(mode, grid, f, q, block, use_scan):
+    """Pick the rank-padded scan fast path (one compiled scan body, see
+    irt_scan.py) when shapes allow, else the general unrolled path."""
+    q = jnp.asarray(q)
+    grids, f = _canon_grid(grid, f)
+    dsample = min(f.d, q.shape[1])
+    from .irt_scan import can_use_scan, irt_scan, stack_padded
+
+    if use_scan is None:
+        use_scan = can_use_scan(f, grids, dsample)
+    if use_scan:
+        cstack, xstack = stack_padded(f, grids)
+        return irt_scan(mode, cstack, xstack, q, block)
+    jit_fn = {"sqr": _irt_sqr_jit, "lin": _irt_lin_jit,
+              "rt": _rt_sqr_jit}[mode]
+    return jit_fn(grids, f, q, block)
+
+
+def tt_irt_sqr(grid, f: TT, q, block: int = _DEFAULT_BLOCK,
+               use_scan: bool | None = None):
     """SIRT: inverse Rosenblatt transform through sqrt(density) in TT.
 
     Args:
@@ -365,23 +397,21 @@ def tt_irt_sqr(grid, f: TT, q, block: int = _DEFAULT_BLOCK):
          are restored by linear extrapolation as in tt_irt_sqr.m:56-62).
       q: (M, D) seeds in [0,1]^D, D <= d samples the marginal of the first
          D variables.
+      use_scan: force/forbid the rank-padded scan fast path (default:
+         automatic — used when grids are uniform and D == d).
     Returns:
       (xq, lFapp): samples (M, D) and log approximate density (M,).
     """
-    q = jnp.asarray(q)
-    grids, f = _canon_grid(grid, f)
-    return _irt_sqr_jit(grids, f, q, block)
+    return _dispatch("sqr", grid, f, q, block, use_scan)
 
 
-def tt_irt_lin(grid, f: TT, q, block: int = _DEFAULT_BLOCK):
+def tt_irt_lin(grid, f: TT, q, block: int = _DEFAULT_BLOCK,
+               use_scan: bool | None = None):
     """v1 IRT through the density itself (linear splines, tt_irt_lin.m)."""
-    q = jnp.asarray(q)
-    grids, f = _canon_grid(grid, f)
-    return _irt_lin_jit(grids, f, q, block)
+    return _dispatch("lin", grid, f, q, block, use_scan)
 
 
-def tt_rt_sqr(grid, f: TT, x, block: int = _DEFAULT_BLOCK):
+def tt_rt_sqr(grid, f: TT, x, block: int = _DEFAULT_BLOCK,
+              use_scan: bool | None = None):
     """Forward Rosenblatt transform (x -> u), inverse of tt_irt_sqr."""
-    x = jnp.asarray(x)
-    grids, f = _canon_grid(grid, f)
-    return _rt_sqr_jit(grids, f, x, block)
+    return _dispatch("rt", grid, f, x, block, use_scan)

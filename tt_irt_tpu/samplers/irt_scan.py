@@ -1,0 +1,196 @@
+"""Rank-padded scan fast path for the IRT/RT transforms.
+
+The general path in ``irt.py`` unrolls the d-dimensional recursion
+(ranks differ per dim), which makes the XLA program O(d) large — at the
+Lorenz-40 stress shape that is minutes of TPU compile time.  Here all TT
+ranks are zero-padded to the maximum rank so every dimension has the
+same shape, and the whole recursion becomes ONE `lax.scan` body compiled
+once.  Zero padding is exact: every contraction is linear in the padded
+entries, so the padded lanes contribute nothing.
+
+Bandwidth note: the conditional marginal is computed as
+``fk = (phi ⊗ phi) @ P`` — an (Mb, r^2) outer product times an
+(r^2, n) matrix — instead of the naive (Mb, r, n) chained einsum.  This
+keeps the largest intermediate at O(Mb r^2) instead of O(Mb r n) and
+maps the hot op onto a single MXU matmul per dimension.
+
+Used automatically by tt_irt_sqr / tt_irt_lin / tt_rt_sqr when the grid
+is uniform across dimensions and the full joint is sampled.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.tt import TT
+from .irt import (
+    _bisect_cdf,
+    _fix_degenerate,
+    _gather_cols,
+    _grid_spacings,
+    _invert_quadratic,
+    _num_blocks,
+    _pad_rows,
+    _trapz_cdf,
+)
+
+__all__ = ["stack_padded", "irt_scan", "can_use_scan"]
+
+
+def can_use_scan(tt: TT, grids, dsample: int) -> bool:
+    n0 = grids[0].shape[0]
+    return (dsample == tt.d
+            and all(g.shape[0] == n0 for g in grids)
+            and all(c.shape[1] == n0 for c in tt.cores)
+            and tt.cores[0].shape[0] == 1
+            and tt.cores[-1].shape[2] == 1)
+
+
+def stack_padded(tt: TT, grids):
+    """Zero-pad all cores to (rmax, n, rmax) and stack: (d, r, n, r);
+    stack grids to (d, n)."""
+    rmax = max(max(c.shape[0], c.shape[2]) for c in tt.cores)
+    cores = []
+    for c in tt.cores:
+        r1, n, r2 = c.shape
+        cp = jnp.zeros((rmax, n, rmax), c.dtype)
+        cp = cp.at[:r1, :, :r2].set(c)
+        cores.append(cp)
+    cstack = jnp.stack(cores, axis=0)
+    xstack = jnp.stack([jnp.asarray(g) for g in grids], axis=0)
+    return cstack, xstack
+
+
+def _prepare_scan(cstack, xstack):
+    """Backward semi-marginalization as a reversed scan.
+
+    The reference carries a thin R factor via QR (tt_irt_sqr.m:63-80);
+    on TPU we carry the Gram matrix G = R R^T itself instead: the
+    per-dim semi-marginal only ever uses R through G, so
+    P_k[a,b,i] = sum_cc' core[a,i,c] G[c,c'] core[b,i,c'] is exact, and
+    G_k = sum_i w_i^2 P_k[:,:,i].  This removes the QR from the device
+    program entirely (TPU f64 QR is pathologically slow to compile) at
+    the cost of a squared condition number, which f64 absorbs for any
+    realistic TT rank."""
+    d, r, n, _ = cstack.shape
+    hstack = jax.vmap(_grid_spacings)(xstack)              # (d, n)
+    w2 = 0.5 * jnp.concatenate([hstack[:, 1:2],
+                                hstack[:, 1:-1] + hstack[:, 2:],
+                                hstack[:, -1:]], axis=1)   # (d, n)
+
+    def body(gram, inp):
+        core, w2k = inp                                    # (r,n,r), (n,)
+        t = jnp.einsum("anc,cd->and", core, gram)
+        pk = jnp.einsum("and,bnd->abn", t, core)
+        gnew = jnp.einsum("abn,n->ab", pk, w2k)
+        gnew = 0.5 * (gnew + gnew.T)
+        # Per-dim renormalization: the conditional CDFs are normalized
+        # row-wise, so the carried scale is arbitrary.  Without this the
+        # product over d dims overflows the f32 exponent range that TPU
+        # f64 emulation (f32-pair arithmetic) is limited to.
+        scale = jnp.maximum(jnp.max(jnp.abs(gnew)), 1e-300)
+        return gnew / scale, pk
+
+    rev = (jnp.flip(cstack, 0), jnp.flip(w2, 0))
+    _, p_rev = jax.lax.scan(body, jnp.eye(r, dtype=cstack.dtype), rev)
+    return jnp.flip(p_rev, 0), hstack                      # (d, r, r, n)
+
+
+def _prepare_scan_lin(cstack, xstack):
+    """Backward trapezoid integration for the linear (density) sampler."""
+    d, r, n, _ = cstack.shape
+    hstack = jax.vmap(_grid_spacings)(xstack)
+
+    def body(pprev, inp):
+        core, hk = inp
+        b = jnp.einsum("anb,b->an", core, pprev)           # (r, n)
+        pnext = jnp.sum(0.5 * (b[:, :-1] + b[:, 1:]) * hk[1:], axis=1)
+        # scale-invariant renormalization (see _prepare_scan)
+        scale = jnp.maximum(jnp.max(jnp.abs(pnext)), 1e-300)
+        return pnext / scale, b
+
+    e0 = jnp.zeros((r,), cstack.dtype).at[0].set(1.0)
+    rev = (jnp.flip(cstack, 0), jnp.flip(hstack, 0))
+    _, p_rev = jax.lax.scan(body, e0, rev)
+    return jnp.flip(p_rev, 0), hstack                      # (d, r, n)
+
+
+def _step(mode, n, carry, inp):
+    phi, lf = carry                                        # (Mb, r), (Mb,)
+    pk, core, x, h, qk = inp
+    mb, r = phi.shape
+    if mode == "lin":
+        fk = jnp.abs(phi @ pk)                             # (Mb, n)
+    else:
+        g = (phi[:, :, None] * phi[:, None, :]).reshape(mb, r * r)
+        fk = g @ jnp.reshape(pk, (r * r, n))               # (Mb, n)
+    ck = _trapz_cdf(fk, h)
+    fk, ck = _fix_degenerate(fk, ck, x)
+    if mode == "rt":
+        xrow = jnp.broadcast_to(x[None, :], (mb, n))
+        i0 = _bisect_cdf(xrow, qk, n)
+    else:
+        i0 = _bisect_cdf(ck, qk, n)
+    c1 = _gather_cols(ck, i0)
+    f1 = _gather_cols(fk, i0)
+    f2 = _gather_cols(fk, i0 + 1)
+    x1 = x[i0]
+    x2 = x[i0 + 1]
+    if mode == "rt":
+        xk = qk
+        aq = 0.5 * (f2 - f1) / (x2 - x1)
+        out = aq * (xk - x1) ** 2 + f1 * (xk - x1) + c1
+    else:
+        xk = _invert_quadratic(f1, f2, c1, qk, x1, x2)
+        out = xk
+    la = (x2 - xk) / (x2 - x1)
+    lb = (xk - x1) / (x2 - x1)
+    lf = lf + jnp.log(f1 * la + f2 * lb)
+    # prefix conditioning: phi <- phi @ (la*core[:,i0,:] + lb*core[:,i0+1,:])
+    g1 = jnp.take(core, i0, axis=1)                        # (r, Mb, r)
+    g2 = jnp.take(core, i0 + 1, axis=1)
+    gsel = g1 * la[None, :, None] + g2 * lb[None, :, None]
+    phi = jnp.einsum("mi,imj->mj", phi, gsel)
+    # per-sample renormalization: the conditional is scale-invariant and
+    # the running product would overflow the f32 exponent range of TPU
+    # f64 emulation over many dims.
+    scale = jnp.maximum(jnp.max(jnp.abs(phi), axis=1, keepdims=True),
+                        1e-300)
+    phi = phi / scale
+    return (phi, lf), out
+
+
+def _forward_scan(mode, q, pstack, cstack, xstack, hstack):
+    mb = q.shape[0]
+    d, r = cstack.shape[0], cstack.shape[1]
+    n = cstack.shape[2]
+    dtype = cstack.dtype
+    phi0 = jnp.zeros((mb, r), dtype).at[:, 0].set(1.0)
+    lf0 = jnp.zeros((mb,), dtype)
+    xs = (pstack, cstack, xstack, hstack, q.T)
+    (_, lf), outs = jax.lax.scan(partial(_step, mode, n), (phi0, lf0), xs)
+    return outs.T, lf
+
+
+@partial(jax.jit, static_argnames=("mode", "block"))
+def irt_scan(mode, cstack, xstack, q, block):
+    """Blocked scan-based transform.  mode in {'sqr','lin','rt'}."""
+    if mode == "lin":
+        pstack, hstack = _prepare_scan_lin(cstack, xstack)
+    else:
+        pstack, hstack = _prepare_scan(cstack, xstack)
+    m = q.shape[0]
+    nb = _num_blocks(m, block)
+    if nb <= 1:
+        return _forward_scan(mode, q, pstack, cstack, xstack, hstack)
+    padded = _pad_rows(q, nb * block)
+    padded = jnp.reshape(padded, (nb, block, q.shape[1]))
+    fn = partial(_forward_scan, mode, pstack=pstack, cstack=cstack,
+                 xstack=xstack, hstack=hstack)
+    xs, lf = jax.lax.map(lambda qq: fn(qq), padded)
+    xs = jnp.reshape(xs, (nb * block, -1))[:m]
+    lf = jnp.reshape(lf, (nb * block,))[:m]
+    return xs, lf
