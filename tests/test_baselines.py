@@ -1,0 +1,60 @@
+"""Tests for the DRAM and SVN baseline samplers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tt_irt_tpu.samplers.dram import dram
+from tt_irt_tpu.samplers.svn import svn
+
+
+def test_dram_gaussian_moments():
+    # 2-D correlated Gaussian: chain must recover mean/cov
+    cov = np.array([[1.0, 0.6], [0.6, 1.5]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mu = jnp.asarray([1.0, -2.0])
+
+    @jax.jit
+    def lp(x):
+        dx = x - mu
+        return -0.5 * jnp.einsum("md,de,me->m", dx, prec, dx)
+
+    x0 = jnp.zeros((8, 2))
+    res = dram(lp, x0, 4000, key=jax.random.PRNGKey(0), burnin=1000)
+    samples = np.asarray(res.chain).reshape(-1, 2)
+    assert 0.1 < float(res.accept_rate) < 0.9
+    np.testing.assert_allclose(samples.mean(axis=0), np.asarray(mu),
+                               atol=0.15)
+    emp = np.cov(samples.T)
+    np.testing.assert_allclose(emp, cov, atol=0.35)
+
+
+def test_dram_bounds_respected():
+    @jax.jit
+    def lp(x):
+        return -0.5 * jnp.sum(x * x, axis=1)
+
+    x0 = jnp.zeros((4, 2)) + 0.5
+    res = dram(lp, x0, 1000, key=jax.random.PRNGKey(1),
+               bounds=(np.array([0.0, 0.0]), np.array([1.0, 1.0])))
+    c = np.asarray(res.chain)
+    assert c.min() >= 0.0 and c.max() <= 1.0
+
+
+def test_svn_gaussian_collapse():
+    # particles should match a Gaussian target's moments
+    cov = np.array([[1.0, 0.5], [0.5, 2.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def nlp(x):
+        return 0.5 * x @ prec @ x
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((64, 2)) * 3.0)
+    res = svn(nlp, x0, steps=40, step_size=0.7)
+    p = np.asarray(res.particles)
+    assert np.all(np.isfinite(p))
+    np.testing.assert_allclose(p.mean(axis=0), [0, 0], atol=0.3)
+    emp = np.cov(p.T)
+    # SVN particle covariances underestimate slightly at small N
+    assert np.all(np.abs(emp - cov) < 0.8)

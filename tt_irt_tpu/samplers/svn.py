@@ -1,0 +1,72 @@
+"""Stein Variational Newton baseline.
+
+The reference downloads an external SVN_H implementation for its
+predator-prey comparison (examples/predator_prey/check_svn.m,
+test_predator_prey_svn.m:88).  This is a self-contained JAX version:
+particles move under the Stein-Newton update with a scaled-Hessian RBF
+kernel; gradients and Gauss-Newton Hessians of -log posterior come from
+autodiff (the reference needs hand-coded sensitivity ODEs,
+PP_RHS_grad.m — autodiff replaces them wholesale).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["svn"]
+
+
+class SVNResult(NamedTuple):
+    particles: jnp.ndarray   # (N, d)
+    steps: int
+    grad_norm: jnp.ndarray
+
+
+def svn(neg_logpost: Callable, x0, *, steps: int = 30,
+        step_size: float = 1.0, damping: float = 1e-2) -> SVNResult:
+    """Stein Variational Newton with a Hessian-scaled RBF kernel.
+
+    Args:
+      neg_logpost: scalar function of one sample (d,) -> (); vmapped and
+        differentiated internally.
+      x0: (N, d) initial particles.
+    """
+    x = jnp.asarray(x0)
+    n, d = x.shape
+    grad_f = jax.vmap(jax.grad(neg_logpost))
+
+    def gn_hess(xi):
+        # Gauss-Newton approximation: J^T J of the gradient (drop the
+        # second-order term); fall back to full Hessian when cheap
+        return jax.hessian(neg_logpost)(xi)
+
+    hess_f = jax.vmap(gn_hess)
+
+    def body(x, _):
+        g = grad_f(x)                       # (N, d)
+        h = hess_f(x)                       # (N, d, d)
+        # SPD-ify the Hessians
+        w, v = jnp.linalg.eigh(h)
+        w = jnp.maximum(w, damping)
+        h = jnp.einsum("nab,nb,ncb->nac", v, w, v)
+        m = jnp.mean(h, axis=0)             # metric for the kernel
+        # anisotropic RBF kernel with metric M/d
+        diff = x[:, None, :] - x[None, :, :]           # (N, N, d)
+        md = jnp.einsum("nmd,de,nme->nm", diff, m, diff) / d
+        kmat = jnp.exp(-0.5 * md)                      # (N, N)
+        gk = -jnp.einsum("nm,de,nme->nmd", kmat, m, diff) / d  # grad_x k
+        # Stein gradient: v_i = (1/N) sum_m [ -k(m,i) g_m + grad_k(m,i) ]
+        phi = (-(kmat.T @ g) + jnp.sum(gk, axis=0)) / n       # (N, d)
+        # Newton metric: H_i = (1/N) sum_m [k^2 H_m + grad_k grad_k^T]
+        hsum = jnp.einsum("mn,mab->nab", kmat**2, h) / n + \
+            jnp.einsum("mnd,mne->nde", gk, gk) / n
+        hsum = hsum + damping * jnp.eye(d)[None]
+        dx = jnp.linalg.solve(hsum, phi[:, :, None])[:, :, 0]
+        return x + step_size * dx, None
+
+    x, _ = jax.lax.scan(body, x, None, length=steps)
+    gnorm = jnp.linalg.norm(grad_f(x)) / n
+    return SVNResult(x, steps, gnorm)
