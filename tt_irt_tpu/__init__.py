@@ -25,6 +25,13 @@ if not os.environ.get("TTIRT_DISABLE_X64"):
 
     jax.config.update("jax_enable_x64", True)
 
+# Escape hatch: force the CPU backend even when a TPU platform plugin is
+# registered (plugins may ignore JAX_PLATFORMS; this does not).
+if os.environ.get("TTIRT_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from .ops.tt import (  # noqa: E402
     TT,
     tt_add,

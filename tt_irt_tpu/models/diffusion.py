@@ -83,14 +83,14 @@ def lgwt(n: int, a: float, b: float):
 @dataclass
 class DiffusionProblem:
     """Grid + KLE + observation setup (test_diffusion_tt.m defaults:
-    sigma=1, corr_length=1, nu=2, meshlevel=0..2, sigma_n=2^-12, m0=3,
+    sigma=1, corr_length=1, nu=2, meshlevel default 2 in the reference, sigma_n=1e-2, m0=3,
     Dirichlet-Neumann BCs with u=1 on the left edge, u=0 on the right)."""
 
     meshlevel: int = 0
     nu: float = 2.0
     corr_length: float = 1.0
     sigma: float = 1.0
-    sigma_n: float = 2.0 ** -12
+    sigma_n: float = 1e-2
     m0: int = 3
     tol_kle: float = 1e-2
     bc_type: str = "dn"
@@ -269,10 +269,11 @@ class DiffusionProblem:
         flux = jnp.einsum("ijp,jp->i", b, u2)
         return -flux[n - 1]
 
-    def likelihood_fn(self, q_obs):
+    def likelihood_fn(self, q_obs, block: int = 128):
         """Exact log-likelihood + QoI columns [logL, flux, indicator]
-        (diffusion_likelihood.m).  Vectorized over samples with a
-        batched dense solve."""
+        (diffusion_likelihood.m).  Vectorized over samples with batched
+        dense solves, processed in fixed blocks (lax.map) so the
+        compiled graph stays small and reusable across sample counts."""
         phil = jnp.asarray(self.phil)
         sqrt_sigma = np.sqrt(self.sigma)
         q_obs = jnp.asarray(q_obs)
@@ -285,7 +286,16 @@ class DiffusionProblem:
             fl = self.exit_flux(cnodal, u)
             return jnp.stack([ll, fl, (fl > 1.5).astype(jnp.float64)])
 
-        batched = jax.jit(jax.vmap(one))
+        vone = jax.vmap(one)
+
+        @jax.jit
+        def batched(y):
+            m = y.shape[0]
+            nb = -(-m // block)
+            pad = jnp.zeros((nb * block - m, y.shape[1]), y.dtype)
+            yp = jnp.reshape(jnp.concatenate([y, pad]), (nb, block, -1))
+            out = jax.lax.map(vone, yp)
+            return jnp.reshape(out, (nb * block, -1))[:m]
 
         def fn(y):
             return batched(jnp.asarray(y))
