@@ -1,0 +1,108 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tt_irt_tpu import essinv, tt_from_dense, tt_irt_sqr
+from tt_irt_tpu.parallel.mesh import (
+    replicate, sample_mesh, shard_samples, sharded_call,
+)
+
+
+needs_multi = pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 virtual devices")
+
+
+def _density(grids):
+    d = len(grids)
+    prec = np.eye(d) + 0.3 * (np.eye(d, k=1) + np.eye(d, k=-1))
+    mesh = np.meshgrid(*grids, indexing="ij")
+    pts = np.stack([m.ravel() for m in mesh], axis=1)
+    e = np.einsum("mi,ij,mj->m", pts, prec, pts)
+    return np.exp(-0.25 * e).reshape([len(g) for g in grids])
+
+
+@needs_multi
+def test_sharded_irt_matches_single_device(rng):
+    grids = [np.linspace(-3, 3, 17) for _ in range(4)]
+    t = tt_from_dense(jnp.asarray(_density(grids)), eps=1e-12)
+    mesh = sample_mesh(8)
+    m = 8 * 64
+    q = jnp.asarray(rng.random((m, 4)))
+
+    # single-device result
+    x_ref, lf_ref = tt_irt_sqr(grids, t, q)
+
+    # sharded: seeds split over the mesh, TT replicated
+    q_sh = shard_samples(mesh, q)
+    t_repl = replicate(mesh, t)
+    x_sh, lf_sh = tt_irt_sqr(grids, t_repl, q_sh)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(lf_sh), np.asarray(lf_ref),
+                               atol=1e-12)
+    # the output keeps the sample axis sharded
+    assert len(x_sh.sharding.device_set) == 8
+
+
+@needs_multi
+def test_sharded_diagnostics_reduce(rng):
+    mesh = sample_mesh(8)
+    m = 8 * 128
+    lfex = jnp.asarray(rng.standard_normal(m))
+    lfapp = lfex + 0.1 * jnp.asarray(rng.standard_normal(m))
+    tau_ref = float(essinv(lfex, lfapp))
+    tau_sh = float(sharded_call(mesh, essinv, lfex, lfapp,
+                                sample_args=(0, 1)))
+    np.testing.assert_allclose(tau_sh, tau_ref, rtol=1e-12)
+
+
+@needs_multi
+def test_dirt_sample_sharded(rng):
+    # full DIRT push with the sample axis sharded
+    from tt_irt_tpu import tt_dirt_approx, tt_dirt_sample
+
+    def logratio(x, b0, b1):
+        return -0.5 * (b1 - b0) * jnp.sum(x * x, axis=1)
+
+    grids = [np.linspace(-4, 4, 13) for _ in range(3)]
+    dirt = tt_dirt_approx(grids, logratio, [0.3, 1.0], stoptol=0.2,
+                          nswp=2, kickrank=2, testsamples=128, seed=0)
+    mesh = sample_mesh(8)
+    q = jnp.asarray(rng.random((8 * 32, 3)))
+    z_ref, lf_ref = tt_dirt_sample(dirt, q)
+    q_sh = shard_samples(mesh, q)
+    dirt_repl = replicate(mesh, dirt)
+    z_sh, lf_sh = tt_dirt_sample(dirt_repl, q_sh)
+    np.testing.assert_allclose(np.asarray(z_sh), np.asarray(z_ref),
+                               atol=1e-12)
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    from tt_irt_tpu import tt_dirt_approx, tt_dirt_sample
+    from tt_irt_tpu.utils.checkpoint import load_dirt, save_dirt
+
+    def logratio(x, b0, b1):
+        return -0.5 * (b1 - b0) * jnp.sum(x * x, axis=1)
+
+    grids = [np.linspace(-4, 4, 9) for _ in range(2)]
+    dirt = tt_dirt_approx(grids, logratio, [0.3, 1.0], stoptol=0.2,
+                          nswp=2, kickrank=2, testsamples=64, seed=0)
+    path = str(tmp_path / "dirt_ckpt")
+    save_dirt(path, dirt)
+    restored = load_dirt(path)
+    q = jnp.asarray(rng.random((64, 2)))
+    z1, l1 = tt_dirt_sample(dirt, q)
+    z2, l2 = tt_dirt_sample(restored, q)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-14)
+    # resume: extend the ladder from the checkpoint
+    from tt_irt_tpu import tt_dirt_approx as build
+
+    extended = build(grids, logratio, [0.3, 1.0, 1.0001], stoptol=0.2,
+                     nswp=2, kickrank=2, testsamples=64, seed=0,
+                     irtstruct=restored)
+    assert extended.nlevels == restored.nlevels + 1
