@@ -44,28 +44,34 @@ def build_tt(d: int, n: int, rank: int, seed: int = 0) -> ti.TT:
 def main():
     d, n, rank = 40, 17, 13
     log2m = int(os.environ.get("BENCH_LOG2M", 20))
+    precision = os.environ.get("BENCH_PRECISION", "mixed")
     m = 1 << log2m
     tt = build_tt(d, n, rank)
     grids = [jnp.asarray(np.linspace(-2.0, 2.0, n)) for _ in range(d)]
     q = jax.random.uniform(jax.random.PRNGKey(1), (m, d),
                            dtype=jnp.float64)
 
-    # warm-up / compile
-    xq, lf = ti.tt_irt_sqr(grids, tt, q)
-    xq.block_until_ready()
+    def run():
+        xq, lf = ti.tt_irt_sqr(grids, tt, q, precision=precision)
+        # Force a host read: on remote TPU backends block_until_ready
+        # can return before execution completes, so timing must
+        # materialize a value derived from the full result.
+        return float(jnp.sum(xq)) + float(jnp.sum(lf))
+
+    run()  # warm-up / compile
 
     reps = int(os.environ.get("BENCH_REPS", 3))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        xq, lf = ti.tt_irt_sqr(grids, tt, q)
-        xq.block_until_ready()
+        run()
         best = min(best, time.perf_counter() - t0)
 
     rate = m / best
     target = (1 << 20) / 1.0  # north star: 2^20 samples in 1 s
     print(json.dumps({
-        "metric": f"tt_irt_sqr samples/sec (d={d}, n={n}, r={rank}, M=2^{log2m})",
+        "metric": (f"tt_irt_sqr samples/sec (d={d}, n={n}, r={rank}, "
+                   f"M=2^{log2m}, {precision} precision)"),
         "value": rate,
         "unit": "samples/sec",
         "vs_baseline": rate / target,

@@ -38,7 +38,7 @@ __all__ = ["tt_irt_fourier", "fourier_precompute"]
 
 _NEWTON_MAX_ITERS = 16    # tt_irt_fourier.m:20
 _NEWTON_TOL = 1e-7        # tt_irt_fourier.m:21
-_DEFAULT_BLOCK = 1 << 12
+_DEFAULT_BLOCK = 1 << 12  # fourier blocks are smaller: O(block*4n*r) complex
 
 
 @jax.tree_util.register_pytree_node_class
@@ -254,22 +254,31 @@ def _newton_invert_resid(xk0, chat, a0, shift, s, mfine):
     return x, jnp.abs(fx)
 
 
-@partial(jax.jit, static_argnames=("dsample", "block"))
+@partial(jax.jit, static_argnames=("dsample",))
+def _irt_fourier_one(prep, q, dsample):
+    return _forward_block_fourier(q, prep, dsample)
+
+
 def _irt_fourier_jit(prep, q, dsample, block):
+    # host-side block loop; see irt_scan.py for why not lax.map
     m = q.shape[0]
     nb = -(-m // block)
     if nb <= 1:
-        return _forward_block_fourier(q, prep, dsample)
+        return _irt_fourier_one(prep, q, dsample)
     pad = jnp.zeros((nb * block - m, q.shape[1]), q.dtype)
-    padded = jnp.reshape(jnp.concatenate([q, pad], axis=0),
-                         (nb, block, q.shape[1]))
-    fn = partial(_forward_block_fourier, prep=prep, dsample=dsample)
-    xs, lf = jax.lax.map(lambda qq: fn(qq), padded)
-    return (jnp.reshape(xs, (nb * block, -1))[:m],
-            jnp.reshape(lf, (nb * block,))[:m])
+    padded = jnp.concatenate([q, pad], axis=0)
+    xs, lf = [], []
+    for b in range(nb):
+        xb, lb = _irt_fourier_one(
+            prep, jax.lax.slice_in_dim(padded, b * block,
+                                       (b + 1) * block), dsample)
+        xs.append(xb)
+        lf.append(lb)
+    return (jnp.concatenate(xs, axis=0)[:m],
+            jnp.concatenate(lf, axis=0)[:m])
 
 
-def tt_irt_fourier(grid, f, q, block: int = _DEFAULT_BLOCK):
+def tt_irt_fourier(grid, f, q, block: int | None = None):
     """Inverse Rosenblatt through sqrt(density) with trigonometric
     interpolation (reference tt_irt_fourier.m).
 
@@ -281,5 +290,9 @@ def tt_irt_fourier(grid, f, q, block: int = _DEFAULT_BLOCK):
     else:
         prep = fourier_precompute(grid, f)
     q = jnp.asarray(q)
+    if block is None:
+        from .irt import auto_block
+
+        block = min(auto_block(q.shape[0]), 1 << 15)
     dsample = min(len(prep.nhalf), q.shape[1])
     return _irt_fourier_jit(prep, q, dsample, block)

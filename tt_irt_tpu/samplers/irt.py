@@ -29,9 +29,22 @@ from ..ops.tt import TT
 
 __all__ = ["tt_irt_lin", "tt_irt_sqr", "tt_rt_sqr"]
 
-# Default sample block; 2^14 keeps the (Mb, r, n) intermediates ~tens of MB
-# so XLA fuses the per-dimension chain without large HBM round-trips.
-_DEFAULT_BLOCK = 1 << 14
+# Sample blocking: every dispatch through the TPU tunnel costs ~0.5-1 s
+# of round-trip latency on the axon backend, so blocks are as large as
+# memory allows — up to 2^18 samples per dispatch (intermediates are
+# O(block * r^2) ~ a few hundred MB), padded to powers of two so the
+# number of distinct compiled programs stays logarithmic.
+_MAX_BLOCK = 1 << 18
+_MIN_BLOCK = 1 << 10
+
+
+def auto_block(m: int, block=None) -> int:
+    if block is not None:
+        return int(block)
+    b = _MIN_BLOCK
+    while b < m and b < _MAX_BLOCK:
+        b <<= 1
+    return b
 
 
 # ---------------------------------------------------------------------------
@@ -331,64 +344,70 @@ def _forward_block_rt(xin, cores, ps, grids, dsample):
 # Public entry points
 # ---------------------------------------------------------------------------
 
-def _run_blocked(forward, seeds, cores, ps, grids, dsample, block):
+@jax.jit
+def _irt_sqr_jit(grids, tt, q):
+    ps, _ = _prepare_sqr(tt, grids)
+    dsample = min(tt.d, q.shape[1])
+    return _forward_block_sqr(q, tt.cores, ps, grids, dsample)
+
+
+@jax.jit
+def _irt_lin_jit(grids, tt, q):
+    ps, _ = _prepare_lin(tt, grids)
+    dsample = min(tt.d, q.shape[1])
+    return _forward_block_lin(q, tt.cores, ps, grids, dsample)
+
+
+@jax.jit
+def _rt_sqr_jit(grids, tt, x):
+    ps, _ = _prepare_sqr(tt, grids)
+    dsample = min(tt.d, x.shape[1])
+    return _forward_block_rt(x, tt.cores, ps, grids, dsample)
+
+
+def _host_blocked(jit_fn, grids, f, seeds, block):
+    """Host-side block loop (NOT lax.map: nesting the per-dim recursion
+    inside another scan explodes TPU compile time; see irt_scan.py).
+    One compiled block program serves any sample count."""
     m = seeds.shape[0]
     nb = _num_blocks(m, block)
     if nb <= 1:
-        return forward(seeds, cores, ps, grids, dsample)
+        return jit_fn(grids, f, seeds)
     padded = _pad_rows(seeds, nb * block)
-    padded = jnp.reshape(padded, (nb, block) + seeds.shape[1:])
-    fn = partial(forward, cores=cores, ps=ps, grids=grids, dsample=dsample)
-    xs, lf = jax.lax.map(fn, padded)
-    xs = jnp.reshape(xs, (nb * block, -1))[:m]
-    lf = jnp.reshape(lf, (nb * block,))[:m]
-    return xs, lf
+    xs_parts, lf_parts = [], []
+    for b in range(nb):
+        chunk = jax.lax.slice_in_dim(padded, b * block, (b + 1) * block)
+        xb, lb = jit_fn(grids, f, chunk)
+        xs_parts.append(xb)
+        lf_parts.append(lb)
+    return (jnp.concatenate(xs_parts, axis=0)[:m],
+            jnp.concatenate(lf_parts, axis=0)[:m])
 
 
-@partial(jax.jit, static_argnames=("block",))
-def _irt_sqr_jit(grids, tt, q, block):
-    ps, _ = _prepare_sqr(tt, grids)
-    dsample = min(tt.d, q.shape[1])
-    return _run_blocked(_forward_block_sqr, q, tt.cores, ps, grids,
-                        dsample, block)
-
-
-@partial(jax.jit, static_argnames=("block",))
-def _irt_lin_jit(grids, tt, q, block):
-    ps, _ = _prepare_lin(tt, grids)
-    dsample = min(tt.d, q.shape[1])
-    return _run_blocked(_forward_block_lin, q, tt.cores, ps, grids,
-                        dsample, block)
-
-
-@partial(jax.jit, static_argnames=("block",))
-def _rt_sqr_jit(grids, tt, x, block):
-    ps, _ = _prepare_sqr(tt, grids)
-    dsample = min(tt.d, x.shape[1])
-    return _run_blocked(_forward_block_rt, x, tt.cores, ps, grids,
-                        dsample, block)
-
-
-def _dispatch(mode, grid, f, q, block, use_scan):
+def _dispatch(mode, grid, f, q, block, use_scan, precision=None):
     """Pick the rank-padded scan fast path (one compiled scan body, see
     irt_scan.py) when shapes allow, else the general unrolled path."""
     q = jnp.asarray(q)
     grids, f = _canon_grid(grid, f)
     dsample = min(f.d, q.shape[1])
+    block = auto_block(q.shape[0], block)
     from .irt_scan import can_use_scan, irt_scan, stack_padded
 
     if use_scan is None:
         use_scan = can_use_scan(f, grids, dsample)
     if use_scan:
         cstack, xstack = stack_padded(f, grids)
-        return irt_scan(mode, cstack, xstack, q, block)
+        if precision is None:
+            precision = "f64" if f.dtype == jnp.float64 else "f32"
+        return irt_scan(mode, cstack, xstack, q, block, precision)
     jit_fn = {"sqr": _irt_sqr_jit, "lin": _irt_lin_jit,
               "rt": _rt_sqr_jit}[mode]
-    return jit_fn(grids, f, q, block)
+    return _host_blocked(jit_fn, grids, f, q, block)
 
 
-def tt_irt_sqr(grid, f: TT, q, block: int = _DEFAULT_BLOCK,
-               use_scan: bool | None = None):
+def tt_irt_sqr(grid, f: TT, q, block: int | None = None,
+               use_scan: bool | None = None,
+               precision: str | None = None):
     """SIRT: inverse Rosenblatt transform through sqrt(density) in TT.
 
     Args:
@@ -399,19 +418,23 @@ def tt_irt_sqr(grid, f: TT, q, block: int = _DEFAULT_BLOCK,
          D variables.
       use_scan: force/forbid the rank-padded scan fast path (default:
          automatic — used when grids are uniform and D == d).
+      precision: 'f64', 'f32' or 'mixed' (f32 contractions + f64 CDF
+         inversion; scan path only) — see irt_scan.py.
     Returns:
       (xq, lFapp): samples (M, D) and log approximate density (M,).
     """
-    return _dispatch("sqr", grid, f, q, block, use_scan)
+    return _dispatch("sqr", grid, f, q, block, use_scan, precision)
 
 
-def tt_irt_lin(grid, f: TT, q, block: int = _DEFAULT_BLOCK,
-               use_scan: bool | None = None):
+def tt_irt_lin(grid, f: TT, q, block: int | None = None,
+               use_scan: bool | None = None,
+               precision: str | None = None):
     """v1 IRT through the density itself (linear splines, tt_irt_lin.m)."""
-    return _dispatch("lin", grid, f, q, block, use_scan)
+    return _dispatch("lin", grid, f, q, block, use_scan, precision)
 
 
-def tt_rt_sqr(grid, f: TT, x, block: int = _DEFAULT_BLOCK,
-              use_scan: bool | None = None):
+def tt_rt_sqr(grid, f: TT, x, block: int | None = None,
+              use_scan: bool | None = None,
+              precision: str | None = None):
     """Forward Rosenblatt transform (x -> u), inverse of tt_irt_sqr."""
-    return _dispatch("rt", grid, f, x, block, use_scan)
+    return _dispatch("rt", grid, f, x, block, use_scan, precision)

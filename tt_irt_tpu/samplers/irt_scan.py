@@ -118,79 +118,144 @@ def _prepare_scan_lin(cstack, xstack):
     return jnp.flip(p_rev, 0), hstack                      # (d, r, n)
 
 
-def _step(mode, n, carry, inp):
+def _step(mode, n, cdf_dtype, carry, inp):
+    """One dimension of the transform, gather-free.
+
+    TPU gathers over a middle axis are an order of magnitude slower than
+    dense contractions, so every lookup is expressed as a one-hot /
+    interpolation-weight contraction (MXU matmuls + VPU reductions):
+    the bracket index comes from a count reduction, bracket values from
+    one-hot row dots, and the prefix conditioning from an interpolation
+    matrix times the unfolded core.  ``cdf_dtype`` lets the CDF build +
+    inversion run at higher precision than the bulk contractions."""
     phi, lf = carry                                        # (Mb, r), (Mb,)
     pk, core, x, h, qk = inp
     mb, r = phi.shape
+    cdt = pk.dtype  # contraction dtype (may be lower than the carry's)
     if mode == "lin":
-        fk = jnp.abs(phi @ pk)                             # (Mb, n)
+        fk = jnp.abs(phi.astype(cdt) @ pk)                 # (Mb, n)
     else:
+        # outer product in the carry precision, matmul in cdt: the
+        # MXU matmul dominates cost; the f64 outer product is small
         g = (phi[:, :, None] * phi[:, None, :]).reshape(mb, r * r)
-        fk = g @ jnp.reshape(pk, (r * r, n))               # (Mb, n)
-    ck = _trapz_cdf(fk, h)
-    fk, ck = _fix_degenerate(fk, ck, x)
+        fk = g.astype(cdt) @ jnp.reshape(pk, (r * r, n))   # (Mb, n)
+    # ---- CDF build + inversion (possibly promoted precision) ----
+    fk = fk.astype(cdf_dtype)
+    xp = x.astype(cdf_dtype)
+    qp = qk.astype(cdf_dtype)
+    ck = _trapz_cdf(fk, h.astype(cdf_dtype))
+    fk, ck = _fix_degenerate(fk, ck, xp)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # (1, n)
     if mode == "rt":
-        xrow = jnp.broadcast_to(x[None, :], (mb, n))
-        i0 = _bisect_cdf(xrow, qk, n)
+        below = (xp[None, :] < qp[:, None]).astype(jnp.int32)
+        # exclude the last point so i0 <= n-2
+        i0 = jnp.clip(jnp.sum(below[:, :], axis=1) - 1, 0, n - 2)
     else:
-        i0 = _bisect_cdf(ck, qk, n)
-    c1 = _gather_cols(ck, i0)
-    f1 = _gather_cols(fk, i0)
-    f2 = _gather_cols(fk, i0 + 1)
-    x1 = x[i0]
-    x2 = x[i0 + 1]
+        below = (ck < qp[:, None]).astype(jnp.int32)
+        i0 = jnp.clip(jnp.sum(below, axis=1) - 1, 0, n - 2)
+    oh0 = (iota == i0[:, None]).astype(cdf_dtype)          # (Mb, n)
+    oh1 = (iota == (i0 + 1)[:, None]).astype(cdf_dtype)
+    c1 = jnp.sum(ck * oh0, axis=1)
+    f1 = jnp.sum(fk * oh0, axis=1)
+    f2 = jnp.sum(fk * oh1, axis=1)
+    x1 = jnp.sum(xp[None, :] * oh0, axis=1)
+    x2 = jnp.sum(xp[None, :] * oh1, axis=1)
     if mode == "rt":
-        xk = qk
+        xk = qp
         aq = 0.5 * (f2 - f1) / (x2 - x1)
         out = aq * (xk - x1) ** 2 + f1 * (xk - x1) + c1
     else:
-        xk = _invert_quadratic(f1, f2, c1, qk, x1, x2)
+        xk = _invert_quadratic(f1, f2, c1, qp, x1, x2)
         out = xk
     la = (x2 - xk) / (x2 - x1)
     lb = (xk - x1) / (x2 - x1)
-    lf = lf + jnp.log(f1 * la + f2 * lb)
-    # prefix conditioning: phi <- phi @ (la*core[:,i0,:] + lb*core[:,i0+1,:])
-    g1 = jnp.take(core, i0, axis=1)                        # (r, Mb, r)
-    g2 = jnp.take(core, i0 + 1, axis=1)
-    gsel = g1 * la[None, :, None] + g2 * lb[None, :, None]
-    phi = jnp.einsum("mi,imj->mj", phi, gsel)
+    lf = lf + jnp.log(f1 * la + f2 * lb).astype(lf.dtype)
+    # prefix conditioning via the interpolation matrix:
+    # W (Mb, n) with la at i0 and lb at i0+1; B = W @ unfold(core).
+    w = (la[:, None] * oh0 + lb[:, None] * oh1).astype(cdt)
+    core_mat = jnp.reshape(jnp.transpose(core, (1, 0, 2)), (n, r * r))
+    b = jnp.reshape(w @ core_mat, (mb, r, r)).astype(phi.dtype)
+    phi = jnp.einsum("mi,mij->mj", phi, b)
     # per-sample renormalization: the conditional is scale-invariant and
     # the running product would overflow the f32 exponent range of TPU
     # f64 emulation over many dims.
     scale = jnp.maximum(jnp.max(jnp.abs(phi), axis=1, keepdims=True),
-                        1e-300)
+                        jnp.asarray(1e-30, phi.dtype))
     phi = phi / scale
     return (phi, lf), out
 
 
-def _forward_scan(mode, q, pstack, cstack, xstack, hstack):
+def _forward_scan(mode, q, pstack, cstack, xstack, hstack,
+                  cdf_dtype=None):
     mb = q.shape[0]
     d, r = cstack.shape[0], cstack.shape[1]
     n = cstack.shape[2]
-    dtype = cstack.dtype
-    phi0 = jnp.zeros((mb, r), dtype).at[:, 0].set(1.0)
-    lf0 = jnp.zeros((mb,), dtype)
+    cdf_dtype = cdf_dtype or cstack.dtype
+    # NOTE: the prefix chain stays in the contraction dtype on purpose.
+    # Promoting it to f64 was measured to cost ~20x on TPU (emulated
+    # f64 elementwise) while leaving the sample error unchanged: the
+    # error floor of reduced precision comes from the CDF inversion's
+    # sensitivity to density rounding in low-density regions, not from
+    # rounding accumulating across the conditioning chain.
+    phi0 = jnp.zeros((mb, r), cstack.dtype).at[:, 0].set(1.0)
+    lf0 = jnp.zeros((mb,), cdf_dtype)
     xs = (pstack, cstack, xstack, hstack, q.T)
-    (_, lf), outs = jax.lax.scan(partial(_step, mode, n), (phi0, lf0), xs)
+    (_, lf), outs = jax.lax.scan(partial(_step, mode, n, cdf_dtype),
+                                 (phi0, lf0), xs)
     return outs.T, lf
 
 
-@partial(jax.jit, static_argnames=("mode", "block"))
-def irt_scan(mode, cstack, xstack, q, block):
-    """Blocked scan-based transform.  mode in {'sqr','lin','rt'}."""
+_PRECISIONS = {
+    # name -> (contraction dtype, CDF/inversion dtype)
+    "f64": ("float64", "float64"),
+    "f32": ("float32", "float32"),
+    "mixed": ("float32", "float64"),
+}
+
+
+@partial(jax.jit, static_argnames=("mode", "precision"))
+def _irt_scan_one(mode, cstack, xstack, q, precision="f64"):
+    """One-shot scan transform for a single sample block.
+
+    ``precision``: 'f64' (reference-accurate), 'f32' (fastest), or
+    'mixed' — bulk contractions in f32 on the MXU, CDF build and
+    quadratic inversion in f64 (TPU f64 is emulated and slow; the CDF
+    arrays are O(M n), 10x smaller than the contraction traffic, so
+    promoting only them buys back the accuracy cheaply)."""
+    cdt, pdt = _PRECISIONS[precision]
+    cstack = cstack.astype(cdt)
+    xstack = xstack.astype(pdt)
+    q = q.astype(pdt)
     if mode == "lin":
-        pstack, hstack = _prepare_scan_lin(cstack, xstack)
+        pstack, hstack = _prepare_scan_lin(cstack, xstack.astype(cdt))
     else:
-        pstack, hstack = _prepare_scan(cstack, xstack)
+        pstack, hstack = _prepare_scan(cstack, xstack.astype(cdt))
+    return _forward_scan(mode, q, pstack, cstack,
+                         xstack, hstack.astype(pdt),
+                         cdf_dtype=jnp.dtype(pdt))
+
+
+def irt_scan(mode, cstack, xstack, q, block, precision="f64"):
+    """Blocked scan-based transform, mode in {'sqr','lin','rt'}.
+
+    Blocking is a *host-side* loop over equally-shaped slices reusing
+    one compiled block program.  (Wrapping the per-dim scan in a
+    `lax.map` over blocks — a nested scan — takes the TPU compiler from
+    seconds to effectively forever; a dispatch loop costs microseconds
+    per block and compiles once for any M.)"""
     m = q.shape[0]
     nb = _num_blocks(m, block)
     if nb <= 1:
-        return _forward_scan(mode, q, pstack, cstack, xstack, hstack)
+        return _irt_scan_one(mode, cstack, xstack, q, precision)
     padded = _pad_rows(q, nb * block)
-    padded = jnp.reshape(padded, (nb, block, q.shape[1]))
-    fn = partial(_forward_scan, mode, pstack=pstack, cstack=cstack,
-                 xstack=xstack, hstack=hstack)
-    xs, lf = jax.lax.map(lambda qq: fn(qq), padded)
-    xs = jnp.reshape(xs, (nb * block, -1))[:m]
-    lf = jnp.reshape(lf, (nb * block,))[:m]
+    xs_parts, lf_parts = [], []
+    for b in range(nb):
+        xb, lb = _irt_scan_one(mode, cstack, xstack,
+                               jax.lax.slice_in_dim(padded, b * block,
+                                                    (b + 1) * block),
+                               precision)
+        xs_parts.append(xb)
+        lf_parts.append(lb)
+    xs = jnp.concatenate(xs_parts, axis=0)[:m]
+    lf = jnp.concatenate(lf_parts, axis=0)[:m]
     return xs, lf
