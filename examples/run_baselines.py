@@ -1,0 +1,80 @@
+"""Comparison baselines: DRAM on the shock absorber, DRAM + SVN on the
+predator-prey calibration (reference test_shock_absorber_dram.m,
+test_predator_prey_dram.m, test_predator_prey_svn.m).
+
+Usage: python examples/run_baselines.py [--problem shock|pp] [--nsteps N]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tt_irt_tpu as ti
+from tt_irt_tpu.samplers.dram import dram
+from tt_irt_tpu.samplers.svn import svn
+
+
+def run_shock(nsteps):
+    from tt_irt_tpu.models import shock_absorber as sa
+
+    cfg = sa.ShockConfig(d=6, n=17, x=sa.paper_covariates())
+    lp = cfg.log_posterior_fn()
+    x0 = np.concatenate([cfg.beta_mean, [3.0]])
+    x0 = np.tile(x0, (8, 1))
+    res = dram(lp, jnp.asarray(x0), nsteps, key=jax.random.PRNGKey(0),
+               bounds=(cfg.a, cfg.b), burnin=nsteps // 4)
+    chain = np.asarray(res.chain).reshape(-1, cfg.d + 2)
+    q, qn = sa.quantile_qoi(jnp.asarray(chain))
+    taus = ti.iact(chain[:, :3])
+    print(f"DRAM shock absorber: accept={float(res.accept_rate):.3f}  "
+          f"IACT={np.mean(taus):.1f}")
+    print(f"  Q = [{float(q):.1f} {float(qn):.1f}]")
+
+
+def run_pp(nsteps):
+    from tt_irt_tpu.models import predator_prey as pp
+
+    prob = pp.PredatorPreyProblem(seed=2, steps_per_interval=32)
+    lp = prob.log_posterior_fn()
+    # DRAM in normalized coordinates
+    x0 = np.ones((4, 8))
+    res = dram(lp, jnp.asarray(x0), nsteps, key=jax.random.PRNGKey(0),
+               bounds=(np.full(8, 0.6), np.full(8, 1.6)),
+               cov0=np.eye(8) * 1e-3, burnin=nsteps // 4)
+    chain = np.asarray(res.chain).reshape(-1, 8)
+    print(f"DRAM predator-prey: accept={float(res.accept_rate):.3f}  "
+          f"IACT={np.mean(ti.iact(chain)):.1f}")
+    print(f"  posterior mean: {chain.mean(axis=0)}")
+
+    # SVN with autodiff Hessians (replaces the sensitivity-ODE machinery)
+    def nlp(x):
+        return -lp(x[None, :])[0]
+
+    rng = np.random.default_rng(0)
+    parts = jnp.asarray(np.clip(1.0 + 0.1 * rng.standard_normal((64, 8)),
+                                0.6, 1.6))
+    out = svn(nlp, parts, steps=20, step_size=0.5, max_step=0.05,
+              bounds=(np.full(8, 0.6), np.full(8, 1.6)))
+    p = np.asarray(out.particles)
+    print(f"SVN predator-prey: particle mean {p.mean(axis=0)}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--problem", choices=["shock", "pp"], default="shock")
+    ap.add_argument("--nsteps", type=int, default=8000)
+    args = ap.parse_args()
+    if args.problem == "shock":
+        run_shock(args.nsteps)
+    else:
+        run_pp(args.nsteps)
+
+
+if __name__ == "__main__":
+    main()

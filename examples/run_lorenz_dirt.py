@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--a", type=float, default=10.0)
     ap.add_argument("--r0", type=int, default=15)
     ap.add_argument("--nsamples", type=int, default=10_000)
+    ap.add_argument("--precision", default=None)
     args = ap.parse_args()
 
     prob = lz.LorenzProblem(d=args.d, n=args.n, a=args.a)
@@ -44,7 +45,8 @@ def main():
     key = jax.random.PRNGKey(1)
     q = ti.randref("n3", key, (args.nsamples, args.d))
     t0 = time.perf_counter()
-    z, lfapp, lfex = ti.tt_dirt_sample(dirt, q, prob.log_posterior_fn())
+    z, lfapp, lfex = ti.tt_dirt_sample(dirt, q, prob.log_posterior_fn(),
+                                       precision=args.precision)
     z.block_until_ready()
     t_sample = time.perf_counter() - t0
 

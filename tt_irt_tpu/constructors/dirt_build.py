@@ -53,6 +53,12 @@ class DirtOptions:
     verb: int = 0
     seed: int = 0
     rmax: Optional[int] = None
+    # IRT precision for construction-time pushes.  Keep f64 (None):
+    # reduced-precision inverse-CDF errors COMPOUND through the level
+    # composition and poison the deeper levels' ratio evaluations (the
+    # construction pushes are only ~1e5 points per level — cheap even
+    # under TPU f64 emulation).  Use 'mixed' for final *sampling* only.
+    precision: Optional[str] = None
     extra: dict = field(default_factory=dict)
 
 
@@ -222,7 +228,7 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
             x = jnp.stack(
                 [jnp.asarray(lvl_grids[k])[ind[:, k]] for k in range(d)],
                 axis=1)
-            z, lfapp = tt_dirt_sample(_dirt, x)
+            z, lfapp = tt_dirt_sample(_dirt, x, precision=opt.precision)
             blo = 0.0 if _denom else _blo
             lr = logpostfun(z, blo, _bhi) - _shift
             if _denom:
@@ -239,7 +245,8 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
             [g.shape[0] for g in lvl_grids], funl, float(trunctol[ilvl]),
             tol_exit=float(stoptol[ilvl]), y0=y0_init,
             kickrank=kickrank[ilvl], nswp=int(nswp[ilvl]), verb=opt.verb,
-            seed=opt.seed + ilvl, rmax=opt.rmax)
+            seed=opt.seed + ilvl + 1000 * recompute_count,
+            rmax=opt.rmax)
         evalcnt[ilvl] += sum(res.evalcnt)
         f_new = res.tt
 

@@ -80,15 +80,15 @@ class DIRT:
                 f"interpolation={self.interpolation!r})")
 
 
-def _level_irt(dirt: DIRT, f: TT, z):
+def _level_irt(dirt: DIRT, f: TT, z, precision=None):
     if dirt.interpolation.startswith("s"):
-        return tt_irt_sqr(dirt.x, f, z)
+        return tt_irt_sqr(dirt.x, f, z, precision=precision)
     from .fourier import tt_irt_fourier
 
     return tt_irt_fourier(dirt.x, f, z)
 
 
-def tt_dirt_sample(dirt: DIRT, q, logpostfun=None):
+def tt_dirt_sample(dirt: DIRT, q, logpostfun=None, precision=None):
     """Push reference-space seeds through the DIRT stack (levels L..1,
     then the level-0 spline IRT — tt_dirt_sample.m:33-73).
 
@@ -96,6 +96,8 @@ def tt_dirt_sample(dirt: DIRT, q, logpostfun=None):
       q: (M, d) seeds — [0,1]^d for uniform reference, (-S,S]^d truncated
          normal otherwise.
       logpostfun: optional exact log-density, evaluated at the output.
+      precision: 'f64' (default), 'f32' or 'mixed' — forwarded to the
+        spline IRT kernels (see samplers/irt_scan.py).
     Returns:
       (z, lFapp) or (z, lFapp, lFex): samples, log pushforward density,
       and exact log-density if requested.
@@ -106,7 +108,7 @@ def tt_dirt_sample(dirt: DIRT, q, logpostfun=None):
     for j in range(dirt.nlevels - 1, -1, -1):
         if sigma is not None:
             z = tnormal_to_uniform(z, sigma)
-        z, dlf = _level_irt(dirt, dirt.fs[j], z)
+        z, dlf = _level_irt(dirt, dirt.fs[j], z, precision)
         lfapp = lfapp + dlf
         if sigma is not None:
             # subtract the reference log-density at the new points
@@ -115,7 +117,7 @@ def tt_dirt_sample(dirt: DIRT, q, logpostfun=None):
         z = tnormal_to_uniform(z, sigma)
     # Level 0 is always spline: the un-tempered density is not band-limited
     # (tt_dirt_sample.m:69-71).
-    z, dlf = tt_irt_sqr(dirt.x0, dirt.f0, z)
+    z, dlf = tt_irt_sqr(dirt.x0, dirt.f0, z, precision=precision)
     lfapp = lfapp + dlf
     if logpostfun is not None:
         return z, lfapp, logpostfun(z)

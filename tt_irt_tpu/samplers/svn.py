@@ -26,16 +26,23 @@ class SVNResult(NamedTuple):
 
 
 def svn(neg_logpost: Callable, x0, *, steps: int = 30,
-        step_size: float = 1.0, damping: float = 1e-2) -> SVNResult:
+        step_size: float = 1.0, damping: float = 1e-2,
+        max_step: float | None = None, bounds=None) -> SVNResult:
     """Stein Variational Newton with a Hessian-scaled RBF kernel.
 
     Args:
       neg_logpost: scalar function of one sample (d,) -> (); vmapped and
         differentiated internally.
       x0: (N, d) initial particles.
+      max_step: trust-region cap on the per-particle update norm (the
+        Newton direction can overshoot into regions where stiff forward
+        models blow up).
+      bounds: optional (lo, hi) box; particles are clipped into it.
     """
     x = jnp.asarray(x0)
     n, d = x.shape
+    if max_step is None:
+        max_step = float(jnp.std(x) + 0.1)
     grad_f = jax.vmap(jax.grad(neg_logpost))
 
     def gn_hess(xi):
@@ -65,7 +72,14 @@ def svn(neg_logpost: Callable, x0, *, steps: int = 30,
             jnp.einsum("mnd,mne->nde", gk, gk) / n
         hsum = hsum + damping * jnp.eye(d)[None]
         dx = jnp.linalg.solve(hsum, phi[:, :, None])[:, :, 0]
-        return x + step_size * dx, None
+        # trust region: cap the per-particle displacement
+        nrm = jnp.linalg.norm(dx, axis=1, keepdims=True)
+        dx = dx * jnp.minimum(1.0, max_step / jnp.maximum(nrm, 1e-30))
+        xn = x + step_size * dx
+        if bounds is not None:
+            xn = jnp.clip(xn, jnp.asarray(bounds[0]),
+                          jnp.asarray(bounds[1]))
+        return xn, None
 
     x, _ = jax.lax.scan(body, x, None, length=steps)
     gnorm = jnp.linalg.norm(grad_f(x)) / n
