@@ -186,3 +186,37 @@ def test_diffusion_forward_pipeline(rng):
         udir = prob.solve_one(jnp.asarray(cn))
         qdir = np.asarray(prob.observe(udir))
         np.testing.assert_allclose(pred, qdir, rtol=2e-2, atol=1e-4)
+
+
+def test_als_cross_indices_mode(rng):
+    # funarg='indices': the spatial callback receives parameter indices
+    # (als_cross_parametric.m:36-40)
+    coeff, _, _, full = _linear_system_setup()
+    nx = full.shape[0]
+    x = np.linspace(0, 1, nx)
+    base = 2.0 + np.sin(2 * np.pi * x)
+    w1 = 0.3 * np.cos(np.pi * x)
+    w2 = 0.2 * x
+    y1 = np.linspace(-1, 1, 7)
+    y2 = np.linspace(-1, 1, 6)
+    dmat = np.eye(nx) * 2.0 - np.eye(nx, k=1) - np.eye(nx, k=-1)
+    mmat = np.eye(nx) + 0.1 * np.eye(nx, k=1)
+
+    state = {"first": True}
+
+    def assem(ju):
+        ju = np.asarray(ju)
+        cs = [base + y1[i1] * w1 + y2[i2] * w2 for i1, i2 in ju]
+        amats = [np.diag(c) @ dmat for c in cs]
+        fs = [mmat @ c for c in cs]
+        us = [np.linalg.solve(a, f) for a, f in zip(amats, fs)]
+        if state["first"]:
+            state["first"] = False
+            return np.stack(us, 1), amats, np.stack(fs, 1)
+        return np.stack(us, 1)
+
+    res = als_cross_parametric(coeff, assem, 1e-8, nswp=3, kickrank=4,
+                               funarg="indices")
+    uf = np.asarray(tt_full(res.u))
+    rel = np.linalg.norm(uf - full) / np.linalg.norm(full)
+    assert rel < 1e-6, rel

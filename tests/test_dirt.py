@@ -119,3 +119,15 @@ def test_dirt_ess_gate_raises():
         tt_dirt_approx(
             GRIDS, logratio, BETA, stoptol=0.5, nswp=1, kickrank=0, y0=1,
             testsamples=256, verb=0, seed=0, recompute=1.0 + 1e-9)
+
+
+def test_dirt_irtdenom():
+    # IRT-density-denominator ratio mode (tt_dirt_approx.m:30-31,463-479)
+    dirt = tt_dirt_approx(
+        GRIDS, logratio, BETA, stoptol=0.1, nswp=3, kickrank=2,
+        testsamples=512, verb=0, seed=4, irtdenom=True)
+    q = jax.random.uniform(jax.random.PRNGKey(9), (2048, D),
+                           dtype=jnp.float64)
+    z, lfapp, lfex = tt_dirt_sample(
+        dirt, q, lambda x: logratio(x, 0.0, 1.0))
+    assert float(essinv(lfex, lfapp)) < 2.0

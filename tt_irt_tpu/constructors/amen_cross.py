@@ -313,15 +313,19 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
         yc = [np.asarray(c) for c in y0.cores]
         if orient < 0:
             yc = _rev_cores(yc)
-        # Right-to-left QR + maxvol warm-up to extract nested indices.
+        # Right-to-left orthogonalization + maxvol warm-up: carry the
+        # bond factor so the maxvol indices are those of the *actual*
+        # (orthogonalized) TT chain — index quality here decides whether
+        # a warm-started single-sweep cross succeeds on hard targets.
+        v = np.ones((1, 1))
         for i in range(d - 1, 0, -1):
-            r1, nn, r2 = yc[i].shape
-            mat = np.reshape(np.transpose(yc[i], (1, 2, 0)),
+            core = np.einsum("anb,bc->anc", yc[i], v)
+            r1, nn, r2 = core.shape
+            mat = np.reshape(np.transpose(core, (1, 2, 0)),
                              (nn * r2, r1), order="F")
-            q, _ = np.linalg.qr(mat)
+            q, rmat = np.linalg.qr(mat)
             ind = maxvol(q)
             rnew = q.shape[1]
-            # new right set from merged (mode, right) rows: row = im + nn*c
             jr = jy_r[i + 1] if jy_r[i + 1] is not None else \
                 np.zeros((1, 0), np.int64)
             merged = np.concatenate(
@@ -330,10 +334,10 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
                  np.repeat(jr, nn, axis=0)], axis=1)
             jy_r[i] = merged[ind]
             ry[i] = rnew
-            # push the inverse into the previous core to stay exact-ish;
-            # warm-up values are overwritten in the first sweep anyway
             yc[i] = np.transpose(
-                np.reshape(q[:, :rnew], (nn, r2, rnew), order="F"), (2, 0, 1))
+                np.reshape(q, (nn, r2, rnew), order="F"), (2, 0, 1))
+            v = rmat.T                      # (r1, rnew) into core i-1
+        yc[0] = np.einsum("anb,bc->anc", yc[0], v)
         ycores = yc
     else:
         if np.isscalar(y0):
