@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--r0", type=int, default=15)
     ap.add_argument("--nsamples", type=int, default=10_000)
     ap.add_argument("--precision", default=None)
+    ap.add_argument("--nswp", type=int, default=1)
+    ap.add_argument("--kickrank", type=int, default=0)
     args = ap.parse_args()
 
     prob = lz.LorenzProblem(d=args.d, n=args.n, a=args.a)
@@ -38,7 +40,8 @@ def main():
     t0 = time.perf_counter()
     dirt = ti.tt_dirt_approx(
         prob.grids(), prob.tempered_logratio_fn(), beta,
-        nswp=1, kickrank=0, y0=args.r0, boundary=True, stoptol=0.1,
+        nswp=args.nswp, kickrank=args.kickrank, y0=args.r0,
+        boundary=True, stoptol=0.1,
         reference="n3", testsamples=1000, seed=0, verb=1)
     t_build = time.perf_counter() - t0
 

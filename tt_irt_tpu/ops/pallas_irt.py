@@ -77,7 +77,8 @@ def _kernel(q_ref, p2_ref, scum_ref, coreu_ref, x_ref, out_ref, lf_ref,
             phi_ref, gbuf_ref, *, d, n, r):
     bm = q_ref.shape[0]
     r2 = r * r
-    phi_ref[:, :] = jnp.zeros((bm, r), jnp.float32).at[:, 0].set(1.0)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (bm, r), 1)
+    phi_ref[:, :] = jnp.where(iota_r == 0, 1.0, 0.0)
     lf_ref[:] = jnp.zeros((bm,), jnp.float32)
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
@@ -100,10 +101,12 @@ def _kernel(q_ref, p2_ref, scum_ref, coreu_ref, x_ref, out_ref, lf_ref,
         qk = q_ref[:, k]
         target = (qk * total)[:, None]
         below = cvals < target
-        i0 = jnp.clip(jnp.sum(below.astype(jnp.int32), axis=1) - 1,
-                      0, n - 2)[:, None]
+        i0 = jnp.clip(jnp.sum(below.astype(jnp.int32), axis=1,
+                              dtype=jnp.int32)
+                      - jnp.int32(1), jnp.int32(0),
+                      jnp.int32(n - 2))[:, None]
         oh0 = (iota_n == i0).astype(jnp.float32)
-        oh1 = (iota_n == i0 + 1).astype(jnp.float32)
+        oh1 = (iota_n == i0 + jnp.int32(1)).astype(jnp.float32)
         c1 = jnp.sum(cvals * oh0, axis=1) / total
         f1 = jnp.sum(fk * oh0, axis=1) / total
         f2 = jnp.sum(fk * oh1, axis=1) / total
@@ -141,6 +144,10 @@ def _kernel(q_ref, p2_ref, scum_ref, coreu_ref, x_ref, out_ref, lf_ref,
 def _pallas_call(q, p2, scum, coreu, x, d, n, r, block, interpret):
     m = q.shape[0]
     r2 = r * r
+    # Trace without x64: under jax_enable_x64 the grid/index arithmetic
+    # is int64, which the Mosaic layout pass rejects (bitwidth <= 32).
+    ctx = jax.enable_x64(False)
+    ctx.__enter__()
     kern = functools.partial(_kernel, d=d, n=n, r=r)
     out, lf = pl.pallas_call(
         kern,
@@ -173,6 +180,7 @@ def _pallas_call(q, p2, scum, coreu, x, d, n, r, block, interpret):
         ],
         interpret=interpret,
     )(q, p2, scum, coreu, x)
+    ctx.__exit__(None, None, None)
     return out, lf
 
 
