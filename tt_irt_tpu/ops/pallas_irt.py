@@ -79,15 +79,21 @@ def _kernel(q_ref, p2_ref, scum_ref, coreu_ref, x_ref, out_ref, lf_ref,
     r2 = r * r
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (bm, r), 1)
     phi_ref[:, :] = jnp.where(iota_r == 0, 1.0, 0.0)
-    lf_ref[:] = jnp.zeros((bm,), jnp.float32)
+    lf_ref[:, 0] = jnp.zeros((bm,), jnp.float32)
+    out_ref[:, :] = jnp.zeros((bm, d), jnp.float32)
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
 
-    for k in range(d):
+    def step(k, _):
+        # dynamic lane indexing is not Mosaic-lowerable: read/write the
+        # k-th seed/sample columns via one-hot masks instead
+        ohk = (iota_d == k).astype(jnp.float32)            # (1, d)
         phi = phi_ref[:, :]
-        # outer product columns (i*r + j) = phi_i * phi_j
+        # outer product columns (i*r + j) = phi_i * phi_j (static r loop)
         for i in range(r):
             gbuf_ref[:, i * r:(i + 1) * r] = phi[:, i:i + 1] * phi
-        fk = jnp.dot(gbuf_ref[:, :], p2_ref[k],
+        pk = p2_ref[k]                                     # (r2, n)
+        fk = jnp.dot(gbuf_ref[:, :], pk,
                      preferred_element_type=jnp.float32)   # (bm, n)
         cvals = jnp.dot(fk, scum_ref[k],
                         preferred_element_type=jnp.float32)
@@ -98,7 +104,7 @@ def _kernel(q_ref, p2_ref, scum_ref, coreu_ref, x_ref, out_ref, lf_ref,
         cvals = jnp.where(bad, cu, cvals)
         fk = jnp.where(bad, 1.0, fk)
         total = jnp.where(bad[:, 0], xg[n - 1] - xg[0], cvals[:, n - 1])
-        qk = q_ref[:, k]
+        qk = jnp.sum(q_ref[:, :] * ohk, axis=1)
         target = (qk * total)[:, None]
         below = cvals < target
         i0 = jnp.clip(jnp.sum(below.astype(jnp.int32), axis=1,
@@ -122,21 +128,23 @@ def _kernel(q_ref, p2_ref, scum_ref, coreu_ref, x_ref, out_ref, lf_ref,
         xk = jnp.where(aq == 0.0,
                        jnp.where(f1 == 0.0, x1, x_lin), x_quad)
         xk = jnp.clip(xk, x1, x2)
-        out_ref[:, k] = xk
+        out_ref[:, :] = out_ref[:, :] + xk[:, None] * ohk
         la = (x2 - xk) / h3
         lb = (xk - x1) / h3
-        lf_ref[:] = lf_ref[:] + jnp.log(
+        lf_ref[:, 0] = lf_ref[:, 0] + jnp.log(
             jnp.maximum(f1 * la + f2 * lb, 1e-30))
-        if k < d - 1:
-            w = la[:, None] * oh0 + lb[:, None] * oh1
-            bsel = jnp.dot(w, coreu_ref[k],
-                           preferred_element_type=jnp.float32)  # (bm, r2)
-            acc = phi[:, 0:1] * bsel[:, 0:r]
-            for i in range(1, r):
-                acc = acc + phi[:, i:i + 1] * bsel[:, i * r:i * r + r]
-            scale = jnp.maximum(jnp.max(jnp.abs(acc), axis=1,
-                                        keepdims=True), 1e-30)
-            phi_ref[:, :] = acc / scale
+        w = la[:, None] * oh0 + lb[:, None] * oh1
+        bsel = jnp.dot(w, coreu_ref[k],
+                       preferred_element_type=jnp.float32)  # (bm, r2)
+        acc = phi[:, 0:1] * bsel[:, 0:r]
+        for i in range(1, r):
+            acc = acc + phi[:, i:i + 1] * bsel[:, i * r:i * r + r]
+        scale = jnp.maximum(jnp.max(jnp.abs(acc), axis=1,
+                                    keepdims=True), 1e-30)
+        phi_ref[:, :] = acc / scale
+        return 0
+
+    jax.lax.fori_loop(0, d, step, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("d", "n", "r", "block",
@@ -167,12 +175,12 @@ def _pallas_call(q, p2, scum, coreu, x, d, n, r, block, interpret):
         out_specs=[
             pl.BlockSpec((block, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block,), lambda i: (i,),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((m, d), jnp.float32),
-            jax.ShapeDtypeStruct((m,), jnp.float32),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block, r), jnp.float32),
@@ -181,7 +189,7 @@ def _pallas_call(q, p2, scum, coreu, x, d, n, r, block, interpret):
         interpret=interpret,
     )(q, p2, scum, coreu, x)
     ctx.__exit__(None, None, None)
-    return out, lf
+    return out, lf[:, 0]
 
 
 def pallas_irt_sqr(grids, tt: TT, q, block: int = 512,
