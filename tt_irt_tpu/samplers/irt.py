@@ -8,8 +8,9 @@ tt_irt_sqr.m, tt_rt_sqr.m and the C kernel utils/tt_irt1_int64.c):
 * the scalar binary search over CDF columns becomes a fixed-trip-count
   vectorized bisection with ``take_along_axis`` gathers;
 * sample blocking (Mb=2^12.. 2^16 in the reference, tuned for CPU caches)
-  becomes a ``lax.map`` over static blocks so XLA keeps per-block
-  intermediates fused and HBM traffic ~ O(M·n) instead of O(M·r·n);
+  becomes a host-side dispatch loop over one compiled block program
+  (adaptive power-of-two blocks up to 2^18 to amortize device dispatch
+  latency; see irt_scan.py for why not lax.map);
 * everything is shape-static and jit-compiled once per TT rank signature;
   the d-dimensional recursion is an unrolled loop (ranks differ per dim).
 
