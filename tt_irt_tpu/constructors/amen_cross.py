@@ -313,17 +313,20 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
         yc = [np.asarray(c) for c in y0.cores]
         if orient < 0:
             yc = _rev_cores(yc)
-        # Right-to-left orthogonalization + maxvol warm-up: carry the
-        # bond factor so the maxvol indices are those of the *actual*
-        # (orthogonalized) TT chain — index quality here decides whether
-        # a warm-started single-sweep cross succeeds on hard targets.
-        v = np.ones((1, 1))
+        # Right-to-left per-core QR + maxvol warm-up.  Deliberately NOT
+        # carrying the bond factor: a chain-exact nested maxvol of the
+        # (low-numerical-rank) initial guess clusters the interpolation
+        # points on the guess's own structure and starves single-sweep
+        # kickrank=0 crosses of diversity on *changed* targets — DIRT
+        # level builds measurably degrade (predator-prey N/ESS 2 -> 400
+        # in A/B runs).  Per-core indices are exact enough to warm-start
+        # (cross-from-own-TT still reconstructs to ~1e-3) while staying
+        # spread out; the first computing sweep re-evaluates everything.
         for i in range(d - 1, 0, -1):
-            core = np.einsum("anb,bc->anc", yc[i], v)
-            r1, nn, r2 = core.shape
-            mat = np.reshape(np.transpose(core, (1, 2, 0)),
+            r1, nn, r2 = yc[i].shape
+            mat = np.reshape(np.transpose(yc[i], (1, 2, 0)),
                              (nn * r2, r1), order="F")
-            q, rmat = np.linalg.qr(mat)
+            q, _ = np.linalg.qr(mat)
             ind = maxvol(q)
             rnew = q.shape[1]
             jr = jy_r[i + 1] if jy_r[i + 1] is not None else \
@@ -335,9 +338,8 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
             jy_r[i] = merged[ind]
             ry[i] = rnew
             yc[i] = np.transpose(
-                np.reshape(q, (nn, r2, rnew), order="F"), (2, 0, 1))
-            v = rmat.T                      # (r1, rnew) into core i-1
-        yc[0] = np.einsum("anb,bc->anc", yc[0], v)
+                np.reshape(q[:, :rnew], (nn, r2, rnew), order="F"),
+                (2, 0, 1))
         ycores = yc
     else:
         if np.isscalar(y0):

@@ -194,9 +194,31 @@ def _prepare_sqr(tt: TT, grids):
     G = R R^T, so carrying G directly is exact and keeps TPU-hostile QR
     out of the device program (f64 QR on TPU compiles pathologically
     slowly)."""
+    import jax as _jax
+
+    stable = _jax.default_backend() != "tpu"
     d = tt.d
     ps = [None] * d
     hs = [None] * d
+    if stable:
+        # reference QR carry (tt_irt_sqr.m:63-80): full precision for
+        # ill-conditioned (concentrated) semi-marginals
+        rfac = jnp.eye(tt.cores[-1].shape[2], dtype=tt.dtype)
+        for k in range(d - 1, -1, -1):
+            core = tt.cores[k]
+            r1, n, r2 = core.shape
+            x = grids[k]
+            h = _grid_spacings(x)
+            hs[k] = h
+            w = jnp.sqrt(0.5 * jnp.concatenate(
+                [h[1:2], h[1:-1] + h[2:], h[-1:]]))
+            b = jnp.einsum("anb,bc->anc", core, rfac)
+            ps[k] = jnp.einsum("anc,bnc->abn", b, b)
+            if k > 0:
+                mat = jnp.reshape(b * w[None, :, None], (r1, -1)).T
+                rfac = jnp.linalg.qr(mat)[1].T
+                rfac = rfac / jnp.maximum(jnp.max(jnp.abs(rfac)), 1e-300)
+        return ps, hs
     gram = jnp.eye(tt.cores[-1].shape[2], dtype=tt.dtype)
     for k in range(d - 1, -1, -1):
         core = tt.cores[k]

@@ -64,38 +64,55 @@ def stack_padded(tt: TT, grids):
     return cstack, xstack
 
 
-def _prepare_scan(cstack, xstack):
+def _prepare_scan(cstack, xstack, stable: bool = False):
     """Backward semi-marginalization as a reversed scan.
 
-    The reference carries a thin R factor via QR (tt_irt_sqr.m:63-80);
-    on TPU we carry the Gram matrix G = R R^T itself instead: the
-    per-dim semi-marginal only ever uses R through G, so
-    P_k[a,b,i] = sum_cc' core[a,i,c] G[c,c'] core[b,i,c'] is exact, and
-    G_k = sum_i w_i^2 P_k[:,:,i].  This removes the QR from the device
-    program entirely (TPU f64 QR is pathologically slow to compile) at
-    the cost of a squared condition number, which f64 absorbs for any
-    realistic TT rank."""
+    Two carries for the integral over x_{>k}:
+    * stable=True: the reference's thin R factor via QR
+      (tt_irt_sqr.m:63-80) — full working precision even when the
+      semi-marginals are ill-conditioned (concentrated late DIRT
+      levels), but QR inside the device program is pathologically slow
+      to compile on TPU;
+    * stable=False: carry the Gram matrix G = R R^T directly — exact in
+      exact arithmetic, squares the condition number; used on TPU where
+      the sampler runs in reduced precision anyway.
+    The caller picks by backend."""
     d, r, n, _ = cstack.shape
     hstack = jax.vmap(_grid_spacings)(xstack)              # (d, n)
     w2 = 0.5 * jnp.concatenate([hstack[:, 1:2],
                                 hstack[:, 1:-1] + hstack[:, 2:],
                                 hstack[:, -1:]], axis=1)   # (d, n)
 
-    def body(gram, inp):
-        core, w2k = inp                                    # (r,n,r), (n,)
-        t = jnp.einsum("anc,cd->and", core, gram)
-        pk = jnp.einsum("and,bnd->abn", t, core)
-        gnew = jnp.einsum("abn,n->ab", pk, w2k)
-        gnew = 0.5 * (gnew + gnew.T)
-        # Per-dim renormalization: the conditional CDFs are normalized
-        # row-wise, so the carried scale is arbitrary.  Without this the
-        # product over d dims overflows the f32 exponent range that TPU
-        # f64 emulation (f32-pair arithmetic) is limited to.
-        scale = jnp.maximum(jnp.max(jnp.abs(gnew)), 1e-300)
-        return gnew / scale, pk
+    if stable:
+        def body(rfac, inp):
+            core, w2k = inp                                # (r,n,r), (n,)
+            b = jnp.einsum("anb,bc->anc", core, rfac)      # (r, n, r)
+            pk = jnp.einsum("anc,bnc->abn", b, b)
+            wb = b * jnp.sqrt(w2k)[None, :, None]
+            mat = jnp.reshape(wb, (r, n * r)).T
+            rnew = jnp.linalg.qr(mat)[1].T                 # (r, r)
+            scale = jnp.maximum(jnp.max(jnp.abs(rnew)), 1e-300)
+            return rnew / scale, pk
+
+        init = jnp.eye(r, dtype=cstack.dtype)
+    else:
+        def body(gram, inp):
+            core, w2k = inp                                # (r,n,r), (n,)
+            t = jnp.einsum("anc,cd->and", core, gram)
+            pk = jnp.einsum("and,bnd->abn", t, core)
+            gnew = jnp.einsum("abn,n->ab", pk, w2k)
+            gnew = 0.5 * (gnew + gnew.T)
+            # renormalize: the conditional CDFs are normalized row-wise,
+            # so the carried scale is arbitrary; without this the product
+            # over d dims overflows the f32 exponent range that TPU f64
+            # emulation (f32-pair arithmetic) is limited to.
+            scale = jnp.maximum(jnp.max(jnp.abs(gnew)), 1e-300)
+            return gnew / scale, pk
+
+        init = jnp.eye(r, dtype=cstack.dtype)
 
     rev = (jnp.flip(cstack, 0), jnp.flip(w2, 0))
-    _, p_rev = jax.lax.scan(body, jnp.eye(r, dtype=cstack.dtype), rev)
+    _, p_rev = jax.lax.scan(body, init, rev)
     return jnp.flip(p_rev, 0), hstack                      # (d, r, r, n)
 
 
@@ -213,8 +230,9 @@ _PRECISIONS = {
 }
 
 
-@partial(jax.jit, static_argnames=("mode", "precision"))
-def _irt_scan_one(mode, cstack, xstack, q, precision="f64"):
+@partial(jax.jit, static_argnames=("mode", "precision", "stable"))
+def _irt_scan_one(mode, cstack, xstack, q, precision="f64",
+                  stable=False):
     """One-shot scan transform for a single sample block.
 
     ``precision``: 'f64' (reference-accurate), 'f32' (fastest), or
@@ -229,13 +247,18 @@ def _irt_scan_one(mode, cstack, xstack, q, precision="f64"):
     if mode == "lin":
         pstack, hstack = _prepare_scan_lin(cstack, xstack.astype(cdt))
     else:
-        pstack, hstack = _prepare_scan(cstack, xstack.astype(cdt))
+        pstack, hstack = _prepare_scan(cstack, xstack.astype(cdt),
+                                       stable=stable)
     return _forward_scan(mode, q, pstack, cstack,
                          xstack, hstack.astype(pdt),
                          cdf_dtype=jnp.dtype(pdt))
 
 
 def irt_scan(mode, cstack, xstack, q, block, precision="f64"):
+    import jax as _jax
+
+    # QR-stabilized marginalization off-TPU (see _prepare_scan)
+    stable = _jax.default_backend() != "tpu"
     """Blocked scan-based transform, mode in {'sqr','lin','rt'}.
 
     Blocking is a *host-side* loop over equally-shaped slices reusing
@@ -246,14 +269,14 @@ def irt_scan(mode, cstack, xstack, q, block, precision="f64"):
     m = q.shape[0]
     nb = _num_blocks(m, block)
     if nb <= 1:
-        return _irt_scan_one(mode, cstack, xstack, q, precision)
+        return _irt_scan_one(mode, cstack, xstack, q, precision, stable)
     padded = _pad_rows(q, nb * block)
     xs_parts, lf_parts = [], []
     for b in range(nb):
         xb, lb = _irt_scan_one(mode, cstack, xstack,
                                jax.lax.slice_in_dim(padded, b * block,
                                                     (b + 1) * block),
-                               precision)
+                               precision, stable)
         xs_parts.append(xb)
         lf_parts.append(lb)
     xs = jnp.concatenate(xs_parts, axis=0)[:m]
