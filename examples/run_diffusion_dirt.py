@@ -1,0 +1,117 @@
+"""Inverse diffusion via DIRT with Fourier interpolation (reference
+test_diffusion_dirt.m): the posterior is bridged over a short tempering
+ladder with a TT surrogate of the observables driving the ratio
+evaluations (tt_sample_lagr surrogate, :146), reference 'n4', Fourier
+basis at levels >= 1 (:150-152); final debias against the exact
+likelihood.
+
+Usage: python examples/run_diffusion_dirt.py [--log2n 12]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tt_irt_tpu as ti
+from tt_irt_tpu.models import diffusion as df
+from tt_irt_tpu.ops.interp import tt_sample_lagrange
+from tt_irt_tpu.ops.tt import TT, tt_reverse, tt_sum_many
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--meshlevel", type=int, default=0)
+    ap.add_argument("--ny", type=int, default=7)
+    ap.add_argument("--npi", type=int, default=17)
+    ap.add_argument("--rpi", type=int, default=8)
+    ap.add_argument("--log2n", type=int, default=12)
+    ap.add_argument("--y0", type=float, default=1.5)
+    args = ap.parse_args()
+
+    tol = 7.6742e-03 * 4.0 ** (-args.meshlevel - 1)
+    prob = df.DiffusionProblem(meshlevel=args.meshlevel, tol_kle=tol * 3)
+    ell = prob.kle_dim
+    print(f"meshlevel={args.meshlevel} KLE dim={ell}")
+
+    ni = np.round(args.ny + (2 - args.ny)
+                  * (np.log(prob.lam) / np.log(prob.lam[-1]))).astype(int)
+    ni = np.maximum(ni, 2)
+    ygrids = [df.lgwt(n, -np.sqrt(3), np.sqrt(3))[0] for n in ni]
+
+    terms = []
+    for i in range(ell):
+        cores = [jnp.asarray(
+            (prob.phil[:, i] * np.sqrt(prob.sigma))[None, :, None])]
+        for j in range(ell):
+            cores.append(jnp.asarray(ygrids[j])[None, :, None] if j == i
+                         else jnp.ones((1, len(ygrids[j]), 1)))
+        terms.append(TT(cores))
+    log_a = tt_sum_many(terms, eps=1e-12)
+    af = ti.amen_cross_s([log_a], lambda v: np.exp(np.asarray(v)[:, 0]),
+                         min(tol, 1e-4), y0=args.rpi, nswp=1, kickrank=0)
+    res = ti.als_cross_parametric(af.tt, prob.assem_solve_fun(), tol,
+                                  pua=prob.pua(), random_init=args.rpi,
+                                  nswp=1, kickrank=0)
+    u = res.u
+    u0 = np.asarray(u.cores[0][0])
+    q_cols = np.stack([np.asarray(prob.observe(jnp.asarray(u0[:, j])))
+                       for j in range(u0.shape[1])], axis=1)
+    core1 = jnp.einsum("qa,anb->qnb", jnp.asarray(q_cols), u.cores[1])
+    uav_rev = tt_reverse(TT([core1] + list(u.cores[2:])))
+
+    rng = np.random.default_rng(0)
+    yv = np.full(ell, args.y0)
+    cn = np.exp(np.sqrt(prob.sigma) * (prob.phil @ yv))
+    q_obs = np.asarray(prob.observe(prob.solve_one(jnp.asarray(cn)))) + \
+        rng.standard_normal(prob.m0 ** 2) * np.sqrt(prob.sigma_n)
+    q_obs_j = jnp.asarray(q_obs)
+    rev_grids = list(reversed(ygrids))
+
+    def surrogate_lp(theta, b0, b1):
+        # observables via Lagrange interpolation of the TT surrogate
+        # (the reference's lpfun with tt_sample_lagr,
+        #  test_diffusion_dirt.m:146)
+        vals = tt_sample_lagrange(uav_rev, rev_grids,
+                                  jnp.asarray(theta)[:, ::-1])
+        mis = jnp.sum((vals - q_obs_j[None, :]) ** 2, axis=1)
+        return -(b1 - b0) * mis / (2.0 * prob.sigma_n)
+
+    grids0 = [np.linspace(-np.sqrt(3), np.sqrt(3), args.npi)
+              for _ in range(ell)]
+    beta = 10.0 ** np.arange(-1, 0.5, 0.5)   # reference :43: 10^(-1:.5:0)
+    t0 = time.perf_counter()
+    dirt = ti.tt_dirt_approx(
+        grids0, surrogate_lp, beta, nswp=1, kickrank=0, y0=args.rpi,
+        boundary=True, stoptol=0.1, reference="n4",
+        interpolation="fourier", nq=[16] * ell, testsamples=256, seed=0)
+    t_build = time.perf_counter() - t0
+
+    lfn = prob.likelihood_fn(q_obs)
+    m = 1 << args.log2n
+    q = ti.randref("n4", jax.random.PRNGKey(3), (m, ell))
+    t0 = time.perf_counter()
+    z, lfapp = ti.tt_dirt_sample(dirt, q)
+    z.block_until_ready()
+    t_sample = time.perf_counter() - t0
+    out = lfn(z)
+    lfex = out[:, 0]
+    tau_ess = float(ti.essinv(lfex, lfapp))
+    mh = ti.mcmc_prune(z, out, lfapp, key=jax.random.PRNGKey(4))
+    rej = float(mh.num_rejects) / m
+    taui = float(ti.iact(np.asarray(mh.lfex[:, 1])))
+    qoi = np.asarray(mh.lfex[:, 1:3]).mean(axis=0)
+    print(f"DIRT build: {t_build:.1f}s  sampling: {t_sample:.2f}s")
+    print(f"N/ESS: {tau_ess:.3f}  rejections: {rej * 100:.1f}%  "
+          f"IACT(flux): {taui:.2f}")
+    print(f"QoI [flux, P(flux>1.5)]: {qoi}")
+
+
+if __name__ == "__main__":
+    main()
