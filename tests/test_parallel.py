@@ -106,3 +106,23 @@ def test_checkpoint_roundtrip(rng, tmp_path):
                      nswp=2, kickrank=2, testsamples=64, seed=0,
                      irtstruct=restored)
     assert extended.nlevels == restored.nlevels + 1
+
+
+def test_checkpoint_per_level(rng, tmp_path):
+    # checkpoint_path saves after every accepted level
+    import os
+
+    from tt_irt_tpu import tt_dirt_approx
+    from tt_irt_tpu.utils.checkpoint import load_dirt
+
+    def logratio(x, b0, b1):
+        return -0.5 * (b1 - b0) * jnp.sum(x * x, axis=1)
+
+    grids = [np.linspace(-4, 4, 9) for _ in range(2)]
+    path = str(tmp_path / "ckpt")
+    dirt = tt_dirt_approx(grids, logratio, [0.3, 0.6, 1.0], stoptol=0.2,
+                          nswp=2, kickrank=2, testsamples=64, seed=0,
+                          checkpoint_path=path)
+    assert os.path.exists(path + ".npz")
+    restored = load_dirt(path)
+    assert restored.nlevels == dirt.nlevels

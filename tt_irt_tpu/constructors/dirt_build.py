@@ -59,6 +59,9 @@ class DirtOptions:
     # construction pushes are only ~1e5 points per level — cheap even
     # under TPU f64 emulation).  Use 'mixed' for final *sampling* only.
     precision: Optional[str] = None
+    # save the stack after every accepted level (resume with
+    # load_dirt(...) + irtstruct=...); long ladders are hours of work
+    checkpoint_path: Optional[str] = None
     extra: dict = field(default_factory=dict)
 
 
@@ -298,6 +301,10 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
         dirt = DIRT(dirt.f0, fs, x0, xg, beta[:ilvl + 1], lfshift,
                     reference=reference, interpolation=interpolation,
                     evalcnt=evalcnt, fprev=fprev)
+        if opt.checkpoint_path:
+            from ..utils.checkpoint import save_dirt
+
+            save_dirt(opt.checkpoint_path, dirt)
         ilvl += 1
 
     return dirt
