@@ -4,7 +4,16 @@ d up to 40 (the stress benchmark): prior-tempered DIRT over
 beta = 10^(-4:1/2:0), truncated-normal 'n3' reference, IS-weighted
 posterior statistics and trace of the posterior covariance.
 
+At large d the likelihood concentrates sharply around beta ~ 1e-2 and
+the half-decade ratio spans ~e^50; --fine-ladder switches to
+quarter-decade steps there, which pass the DIRT quality gate first-try
+where half-decade steps need many recompute retries.  --checkpoint
+saves the transport after every accepted level so a long build can be
+resumed (load_dirt + irtstruct=) or served mid-ladder.
+
 Usage: python examples/run_lorenz_dirt.py [--d 10] [--nsamples 10000]
+       python examples/run_lorenz_dirt.py --d 20 --nswp 2 --kickrank 2 \
+           --fine-ladder --checkpoint /tmp/lz20_ck
 """
 
 import argparse
@@ -32,16 +41,32 @@ def main():
     ap.add_argument("--precision", default=None)
     ap.add_argument("--nswp", type=int, default=1)
     ap.add_argument("--kickrank", type=int, default=0)
+    ap.add_argument("--fine-ladder", action="store_true",
+                    help="quarter-decade beta steps above 1e-2")
+    ap.add_argument("--checkpoint", default=None,
+                    help="save the DIRT after every accepted level")
+    ap.add_argument("--save-problem", default=None,
+                    help="prefix for {_data,_x0true,_x0base}.npy so "
+                         "serve_lorenz_checkpoint.py can reload the "
+                         "synthetic problem")
     args = ap.parse_args()
 
     prob = lz.LorenzProblem(d=args.d, n=args.n, a=args.a)
-    beta = 10.0 ** np.arange(-4, 0.5, 0.5)
+    if args.save_problem:
+        np.save(args.save_problem + "_data.npy", prob.data)
+        np.save(args.save_problem + "_x0true.npy", prob.x0true)
+        np.save(args.save_problem + "_x0base.npy", prob.x0base)
+    if args.fine_ladder:
+        beta = np.concatenate([10.0 ** np.arange(-4, -2, 0.5),
+                               10.0 ** np.arange(-2, 0.25, 0.25)])
+    else:
+        beta = 10.0 ** np.arange(-4, 0.5, 0.5)
 
     t0 = time.perf_counter()
     dirt = ti.tt_dirt_approx(
         prob.grids(), prob.tempered_logratio_fn(), beta,
         nswp=args.nswp, kickrank=args.kickrank, y0=args.r0,
-        boundary=True, stoptol=0.1,
+        boundary=True, stoptol=0.1, checkpoint_path=args.checkpoint,
         reference="n3", testsamples=1000, seed=0, verb=1)
     t_build = time.perf_counter() - t0
 

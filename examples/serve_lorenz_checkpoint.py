@@ -1,0 +1,87 @@
+"""Serve a CPU-built Lorenz DIRT checkpoint on the TPU.
+
+The intended production split (BENCH_NOTES.md "Lorenz showcase"):
+build the transport once in f64 on CPU with per-level checkpointing
+(run_lorenz_dirt.py --fine-ladder --checkpoint PATH), then load the
+checkpoint here and push large mixed-precision sample batches through
+it on the TPU.  Mixed precision (f32 MXU contractions + f64 CDF
+inversion) is statistically exact for debiasing because the returned
+log-density is the exact Jacobian of the realized transport.
+
+Reference workflow: test_lorenz.m builds and samples in one process;
+the split is the TPU-native redesign (construction is latency-bound
+host work, serving is throughput-bound device work).
+
+Usage:
+  python examples/run_lorenz_dirt.py --d 20 --nswp 2 --kickrank 2 \
+      --fine-ladder --checkpoint /tmp/lz20 --save-problem /tmp/lz20
+  python examples/serve_lorenz_checkpoint.py --checkpoint /tmp/lz20 \
+      --problem /tmp/lz20 --log2n 20
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tt_irt_tpu as ti
+from tt_irt_tpu.models import lorenz as lz
+from tt_irt_tpu.utils.checkpoint import load_dirt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True,
+                    help="DIRT checkpoint path (without .npz)")
+    ap.add_argument("--problem", required=True,
+                    help="prefix of {_data,_x0true,_x0base}.npy files")
+    ap.add_argument("--log2n", type=int, default=20)
+    ap.add_argument("--n", type=int, default=17)
+    ap.add_argument("--a", type=float, default=10.0)
+    ap.add_argument("--precision", default="mixed")
+    args = ap.parse_args()
+
+    dirt = load_dirt(args.checkpoint)
+    data = np.load(args.problem + "_data.npy")
+    x0true = np.load(args.problem + "_x0true.npy")
+    x0base = np.load(args.problem + "_x0base.npy")
+    d = len(x0true)
+    prob = lz.LorenzProblem(d=d, n=args.n, a=args.a, x0true=x0base,
+                            data=data)
+    prob.x0true = x0true
+    lp = prob.log_posterior_fn()
+
+    m = 1 << args.log2n
+    q = ti.randref("n3", jax.random.PRNGKey(1), (m, d))
+    z, lfapp = ti.tt_dirt_sample(dirt, q, precision=args.precision)
+    _ = float(jnp.sum(z))          # warm-up compile + forced sync
+    t0 = time.perf_counter()
+    z, lfapp = ti.tt_dirt_sample(dirt, q, precision=args.precision)
+    _ = float(jnp.sum(z)) + float(jnp.sum(lfapp))
+    t_samp = time.perf_counter() - t0
+    print(f"DIRT sampling 2^{args.log2n} x d={d} through "
+          f"{dirt.nlevels + 1} levels: {t_samp:.2f}s "
+          f"({m / t_samp:.3g} samples/s)", flush=True)
+
+    lfex = lp(z)
+    tau_ess = float(ti.essinv(lfex, lfapp))
+    mh = ti.mcmc_prune(z, lfex, lfapp, key=jax.random.PRNGKey(2))
+    rej = float(mh.num_rejects) / m
+    w = jnp.exp(lfex - lfapp)
+    w = w / jnp.sum(w)
+    post_mean = np.asarray(w @ z)
+    post_var = np.asarray(w @ (z - post_mean[None, :]) ** 2)
+    err = np.abs(post_mean - x0true)
+    print(f"N/ESS={tau_ess:.3f}  rejections={rej * 100:.1f}%")
+    print(f"Trace(Cov)={post_var.sum():.4g}")
+    print(f"max |postmean - truth| = {err.max():.4f}")
+
+
+if __name__ == "__main__":
+    main()
