@@ -16,6 +16,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from tt_irt_tpu.utils import set_platform
+set_platform()  # honor JAX_PLATFORMS even with eager TPU plugins
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -3,6 +3,8 @@ amen_cross_s, sample 2^16 points at d=10 through tt_irt_sqr, debias with
 MH, print diagnostics — all through the public package API."""
 import time
 import numpy as np
+from tt_irt_tpu.utils import set_platform
+set_platform()  # honor JAX_PLATFORMS even with eager TPU plugins
 import jax, jax.numpy as jnp
 import tt_irt_tpu as ti
 

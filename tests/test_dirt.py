@@ -85,6 +85,44 @@ def test_dirt_resume_appends_levels(trained_dirt):
     assert float(essinv(lfex, lfapp)) < 2.0
 
 
+def test_dirt_resume_rejects_mismatches(trained_dirt):
+    # the checkpoint is authoritative: wrong grids / ladders / references
+    # must fail loudly instead of silently re-gridding existing levels
+    with pytest.raises(ValueError, match="shorter"):
+        tt_dirt_approx(GRIDS, logratio, BETA[:1], testsamples=0,
+                       irtstruct=trained_dirt)
+    with pytest.raises(ValueError, match="prefix"):
+        tt_dirt_approx(GRIDS, logratio, [0.2, 0.3, 1.0], testsamples=0,
+                       irtstruct=trained_dirt)
+    bad_grids = [np.linspace(-4, 4, 17) for _ in range(D)]
+    with pytest.raises(ValueError, match="x0 grids"):
+        tt_dirt_approx(bad_grids, logratio, BETA, testsamples=0,
+                       irtstruct=trained_dirt)
+    with pytest.raises(ValueError, match="reference"):
+        tt_dirt_approx(GRIDS, logratio, BETA, testsamples=0,
+                       reference="normal 4", irtstruct=trained_dirt)
+    with pytest.raises(ValueError, match="nq="):
+        tt_dirt_approx(GRIDS, logratio, list(BETA) + [1.0001],
+                       testsamples=0, nq=[12] * D, irtstruct=trained_dirt)
+
+
+def test_dirt_passes_jit_boundary(trained_dirt):
+    # the DIRT pytree must be a valid jit argument: aux data (evalcnt)
+    # hashable, fprev arrays in the leaves
+    from tt_irt_tpu.samplers.irt import _canon_grid, _irt_sqr_jit
+
+    @jax.jit
+    def level0_push(dirt, q):
+        gs, tt2 = _canon_grid(dirt.x0, dirt.f0)
+        return _irt_sqr_jit(gs, tt2, q)
+
+    q = jax.random.uniform(jax.random.PRNGKey(4), (32, D),
+                           dtype=jnp.float64)
+    z, lf = level0_push(trained_dirt, q)
+    assert z.shape == (32, D)
+    assert np.all(np.isfinite(np.asarray(z)))
+
+
 def test_dirt_normal_reference():
     dirt = tt_dirt_approx(
         GRIDS, logratio, BETA, stoptol=0.15, nswp=3, kickrank=2,

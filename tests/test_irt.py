@@ -226,3 +226,51 @@ def test_irt_boundary_extrapolation(rng):
     xq, lf = tt_irt_sqr(grids, t_in, q)
     assert np.all(np.isfinite(np.asarray(xq)))
     assert np.all(np.isfinite(np.asarray(lf)))
+
+
+def test_gram_carry_matches_qr_path(rng):
+    """The TPU default ships the Gram-carry semi-marginalization
+    (stable=False) while CI forces CPU where the QR carry is default —
+    exercise the Gram branch explicitly on an ill-conditioned TT and
+    compare against the QR path (round-1 advisor finding)."""
+    import jax
+
+    from tt_irt_tpu.samplers.irt import _canon_grid, _prepare_sqr, \
+        _forward_block_sqr
+    from tt_irt_tpu.samplers.irt_scan import _irt_scan_one, stack_padded
+
+    d, n, r = 5, 17, 4
+    grids = [np.linspace(-2, 2, n) for _ in range(d)]
+    cores = []
+    rs = np.random.default_rng(11)
+    x = np.linspace(-1, 1, n)
+    for k in range(d):
+        r1 = 1 if k == 0 else r
+        r2 = 1 if k == d - 1 else r
+        core = np.log1p(np.exp(rs.standard_normal((r1, n, r2))))
+        # widely separated rank-channel scales -> ill-conditioned
+        # semi-marginal Gram (condition number squared by the carry)
+        if 0 < k < d - 1:
+            core[0, :, :] *= 1e4
+            core[:, :, -1] *= 1e-4
+        cores.append(jnp.asarray(core))
+    tt = TT(cores)
+    gs, tt2 = _canon_grid(grids, tt)
+    q = jnp.asarray(rng.random((128, d)))
+
+    # unrolled path: QR carry vs Gram carry
+    ps_qr, _ = _prepare_sqr(tt2, gs, stable=True)
+    ps_gram, _ = _prepare_sqr(tt2, gs, stable=False)
+    x_qr, lf_qr = _forward_block_sqr(q, tt2.cores, ps_qr, gs, d)
+    x_gram, lf_gram = _forward_block_sqr(q, tt2.cores, ps_gram, gs, d)
+    np.testing.assert_allclose(np.asarray(x_gram), np.asarray(x_qr),
+                               atol=1e-7)
+
+    # scan path: stable=False vs stable=True block programs
+    cstack, xstack = stack_padded(tt2, gs)
+    xs_s, lf_s = _irt_scan_one("sqr", cstack, xstack, q, "f64", True)
+    xs_g, lf_g = _irt_scan_one("sqr", cstack, xstack, q, "f64", False)
+    np.testing.assert_allclose(np.asarray(xs_g), np.asarray(xs_s),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(lf_g), np.asarray(lf_s),
+                               atol=1e-6)

@@ -94,6 +94,13 @@ def test_checkpoint_roundtrip(rng, tmp_path):
     path = str(tmp_path / "dirt_ckpt")
     save_dirt(path, dirt)
     restored = load_dirt(path)
+    # fprev (the next level's warm start) must survive the round trip:
+    # without it a resumed build silently warm-starts from random
+    # indices, changing the appended levels' quality.
+    assert dirt.fprev is not None
+    assert restored.fprev is not None
+    for a, b in zip(dirt.fprev.cores, restored.fprev.cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     q = jnp.asarray(rng.random((64, 2)))
     z1, l1 = tt_dirt_sample(dirt, q)
     z2, l2 = tt_dirt_sample(restored, q)

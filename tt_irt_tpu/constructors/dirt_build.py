@@ -184,11 +184,37 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
     else:
         dirt = irtstruct
         ilvl = dirt.nlevels + 1
-        evalcnt[:len(np.atleast_1d(dirt.evalcnt))] = np.atleast_1d(dirt.evalcnt)
-        lfshift = float(np.asarray(dirt.lfshift))
-        if dirt.nlevels + 1 < beta.shape[0] and \
-                not np.allclose(beta[:dirt.nlevels + 1], np.asarray(dirt.beta)):
+        # The checkpoint is authoritative for everything it stores
+        # (reference semantics: tt_dirt_approx.m:154-173 restores
+        # F/beta/lFshift/Fprev and keeps IRTstruct.x0): a resume must not
+        # silently re-grid existing level TTs from the caller's x0/nq.
+        if beta.shape[0] < dirt.nlevels + 1:
+            raise ValueError(
+                f"beta ladder ({beta.shape[0]} entries) is shorter than "
+                f"the existing DIRT's {dirt.nlevels + 1} levels")
+        if not np.allclose(beta[:dirt.nlevels + 1], np.asarray(dirt.beta)):
             raise ValueError("beta ladder prefix must match existing DIRT")
+        if str(dirt.reference).lower() != str(reference).lower():
+            raise ValueError(
+                f"reference {reference!r} does not match the existing "
+                f"DIRT's {dirt.reference!r}")
+        if not str(dirt.interpolation).lower().startswith(
+                interpolation[:1]):
+            raise ValueError(
+                f"interpolation {interpolation!r} does not match the "
+                f"existing DIRT's {dirt.interpolation!r}")
+        ck_x0 = [np.asarray(g, dtype=np.float64).reshape(-1)
+                 for g in dirt.x0]
+        if len(ck_x0) != d or any(
+                a.shape != b.shape or not np.allclose(a, b)
+                for a, b in zip(ck_x0, x0)):
+            raise ValueError("x0 grids do not match the existing DIRT's "
+                             "stored level-0 grids")
+        x0 = ck_x0
+        prev = np.atleast_1d(dirt.evalcnt)
+        ncopy = min(len(prev), len(evalcnt))
+        evalcnt[:ncopy] = prev[:ncopy]
+        lfshift = float(np.asarray(dirt.lfshift))
         fprev = dirt.fprev
         fprev_rank = int(np.max(np.atleast_1d(y0v[min(1, nlvl)])))
 
@@ -198,7 +224,16 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
     # ------------------------------------------------------------------
     # Grids for levels >= 1 (reference space)
     # ------------------------------------------------------------------
-    if sigma is None:
+    if irtstruct is not None and len(dirt.x) > 0:
+        # resume: existing level TTs were built on the stored grids —
+        # re-deriving them from the caller's nq would silently evaluate
+        # those TTs on wrong nodes whenever the sizes coincide.
+        xg = [np.asarray(g, dtype=np.float64).reshape(-1) for g in dirt.x]
+        if opt.nq is not None and [g.shape[0] for g in xg] != nq:
+            raise ValueError(
+                f"nq={nq} does not match the existing DIRT's level "
+                f"grid sizes {[g.shape[0] for g in xg]}")
+    elif sigma is None:
         xg = [_chebyshev_extrema(nk) for nk in nq]
     else:
         if interpolation.startswith("s"):

@@ -63,16 +63,21 @@ class DIRT:
         return reference_sigma(self.reference)
 
     def tree_flatten(self):
-        leaves = (self.f0, self.fs, self.x0, self.x, self.beta, self.lfshift)
-        aux = (self.reference, self.interpolation, self.evalcnt, self.fprev)
+        # fprev is a TT of arrays -> it must be a leaf subtree (tracers
+        # may flow through it); evalcnt goes into aux and therefore must
+        # be hashable for jit caching, so it is stored as a tuple.
+        leaves = (self.f0, self.fs, self.x0, self.x, self.beta,
+                  self.lfshift, self.fprev)
+        aux = (self.reference, self.interpolation,
+               tuple(int(v) for v in np.atleast_1d(self.evalcnt)))
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        f0, fs, x0, x, beta, lfshift = leaves
+        f0, fs, x0, x, beta, lfshift, fprev = leaves
         return cls(f0, fs, x0, x, beta, lfshift,
                    reference=aux[0], interpolation=aux[1],
-                   evalcnt=aux[2], fprev=aux[3])
+                   evalcnt=np.asarray(aux[2], np.int64), fprev=fprev)
 
     def __repr__(self):
         return (f"DIRT(d={self.d}, levels={self.nlevels}, "

@@ -184,7 +184,7 @@ def _canon_grid(grid, tt: TT):
 # Backward (preparation) passes
 # ---------------------------------------------------------------------------
 
-def _prepare_sqr(tt: TT, grids):
+def _prepare_sqr(tt: TT, grids, stable: bool | None = None):
     """Right-to-left semi-marginalization for the squared (SIRT) sampler.
 
     P_k = ∫ f^{(>=k)} ⊗ f^{(>=k)} dx_{>k} as an (r_k, r_k, n_k) field.
@@ -193,10 +193,11 @@ def _prepare_sqr(tt: TT, grids):
     QR (tt_irt_sqr.m:63-80), but the factor only ever enters through
     G = R R^T, so carrying G directly is exact and keeps TPU-hostile QR
     out of the device program (f64 QR on TPU compiles pathologically
-    slowly)."""
+    slowly).  ``stable=None`` selects by backend (QR off-TPU)."""
     import jax as _jax
 
-    stable = _jax.default_backend() != "tpu"
+    if stable is None:
+        stable = _jax.default_backend() != "tpu"
     d = tt.d
     ps = [None] * d
     hs = [None] * d

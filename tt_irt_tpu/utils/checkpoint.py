@@ -37,6 +37,15 @@ def save_dirt(path: str, dirt: DIRT) -> None:
         arrays[f"x_{i}"] = np.asarray(g)
     arrays["beta"] = np.asarray(dirt.beta)
     arrays["evalcnt"] = np.asarray(dirt.evalcnt)
+    # fprev (the rank-limited warm start for the next level) must be
+    # persisted: a resume without it silently falls back to a random
+    # warm start, changing the quality of the appended levels (the
+    # reference keeps Fprev in the IRTstruct, tt_dirt_approx.m:154-173).
+    fprev_dims = 0
+    if dirt.fprev is not None:
+        fprev_dims = dirt.fprev.d
+        for i, c in enumerate(dirt.fprev.cores):
+            arrays[f"fprev_{i}"] = np.asarray(c)
     header = {
         "d": dirt.d,
         "nlevels": dirt.nlevels,
@@ -45,6 +54,7 @@ def save_dirt(path: str, dirt: DIRT) -> None:
         "reference": str(dirt.reference),
         "interpolation": str(dirt.interpolation),
         "n_x": len(dirt.x),
+        "fprev_dims": fprev_dims,
     }
     np.savez_compressed(path + ".npz", **arrays)
     with open(path + ".json", "w") as fh:
@@ -64,7 +74,11 @@ def load_dirt(path: str) -> DIRT:
         fs.append(TT([jnp.asarray(data[f"lvl{l}_{i}"]) for i in range(dl)]))
     x0 = [jnp.asarray(data[f"x0_{i}"]) for i in range(d)]
     x = [jnp.asarray(data[f"x_{i}"]) for i in range(header["n_x"])]
+    fprev = None
+    if header.get("fprev_dims", 0):
+        fprev = TT([jnp.asarray(data[f"fprev_{i}"])
+                    for i in range(header["fprev_dims"])])
     return DIRT(f0, fs, x0, x, jnp.asarray(data["beta"]),
                 header["lfshift"], reference=header["reference"],
                 interpolation=header["interpolation"],
-                evalcnt=np.asarray(data["evalcnt"]))
+                evalcnt=np.asarray(data["evalcnt"]), fprev=fprev)
