@@ -44,7 +44,7 @@ def build_tt(d: int, n: int, rank: int, seed: int = 0) -> ti.TT:
 def main():
     d, n, rank = 40, 17, 13
     log2m = int(os.environ.get("BENCH_LOG2M", 20))
-    precision = os.environ.get("BENCH_PRECISION", "mixed")
+    precision = os.environ.get("BENCH_PRECISION", "f32")
     m = 1 << log2m
     tt = build_tt(d, n, rank)
     grids = [jnp.asarray(np.linspace(-2.0, 2.0, n)) for _ in range(d)]

@@ -47,6 +47,10 @@ def main():
                     help="quarter-decade beta steps above 1e-2")
     ap.add_argument("--checkpoint", default=None,
                     help="save the DIRT after every accepted level")
+    ap.add_argument("--resume", default=None,
+                    help="load a DIRT checkpoint prefix and append the "
+                         "remaining ladder levels (tt_dirt_approx.m:154-173 "
+                         "semantics)")
     ap.add_argument("--save-problem", default=None,
                     help="prefix for {_data,_x0true,_x0base}.npy so "
                          "serve_lorenz_checkpoint.py can reload the "
@@ -64,12 +68,27 @@ def main():
     else:
         beta = 10.0 ** np.arange(-4, 0.5, 0.5)
 
+    irtstruct = None
+    if args.resume:
+        from tt_irt_tpu.utils.checkpoint import load_dirt
+
+        irtstruct = load_dirt(args.resume)
+        print(f"resuming from {args.resume}: {irtstruct.nlevels} levels "
+              f"built (beta <= {float(np.asarray(irtstruct.beta)[-1]):g})")
+        # the synthesized problem is deterministic in (d, n, a, seed); if
+        # the build saved its problem instance, verify we regenerated it
+        base = args.resume.replace("_ck", "")
+        if os.path.exists(base + "_data.npy"):
+            assert np.allclose(np.load(base + "_data.npy"), prob.data), \
+                "resumed problem data does not match the checkpoint's"
+
     t0 = time.perf_counter()
     dirt = ti.tt_dirt_approx(
         prob.grids(), prob.tempered_logratio_fn(), beta,
         nswp=args.nswp, kickrank=args.kickrank, y0=args.r0,
         boundary=True, stoptol=0.1, checkpoint_path=args.checkpoint,
-        reference="n3", testsamples=1000, seed=0, verb=1)
+        reference="n3", testsamples=1000, seed=0, verb=1,
+        irtstruct=irtstruct)
     t_build = time.perf_counter() - t0
 
     key = jax.random.PRNGKey(1)

@@ -166,13 +166,13 @@ inline void invert_cdf_on_row(const double* fk, const double* x, int64_t n,
   double f1 = fk[i0] / total, f2 = fk[i0 + 1] / total;
   double c1 = c_lo / total;
   double a = 0.5 * (f2 - f1) / h;
-  double xk;
-  if (a == 0.0) {
-    xk = (f1 == 0.0) ? x1 : x1 + (qk - c1) / f1;
-  } else {
-    double disc = f1 * f1 + 4.0 * a * (qk - c1);
-    xk = x1 + (-f1 + std::sqrt(std::fabs(disc))) / (2.0 * a);
-  }
+  // citardauq root form: 2t / (f1 + sqrt(f1^2 + 4at)) — stable for
+  // near-flat densities (a -> 0), where the textbook (-f1 + sqrt(D)) /
+  // (2a) form cancels catastrophically; no a == 0 special case needed
+  double t = qk - c1;
+  double disc = f1 * f1 + 4.0 * a * t;
+  double den = f1 + std::sqrt(disc > 0.0 ? disc : 0.0);
+  double xk = (den <= 0.0) ? x1 : x1 + 2.0 * t / den;
   if (xk < x1) xk = x1;
   if (xk > x2) xk = x2;
   *xk_out = xk;

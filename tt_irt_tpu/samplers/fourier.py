@@ -194,14 +194,14 @@ def _forward_block_fourier(q, prep: FourierPrep, dsample):
         f2 = jnp.take_along_axis(fvals, i0[:, None] + 1, axis=1)[:, 0]
         x1 = xf[i0]
         hf = prep.h[k] / 2.0
+        # citardauq root form (see irt._invert_quadratic): stable when
+        # the density is nearly flat (aq -> 0)
         aq = 0.5 * (f2 - f1) / hf
-        dq = f1 * f1 + 4.0 * aq * (target - c1)
-        safe_aq = jnp.where(aq == 0.0, 1.0, aq)
-        xg = x1 + (-f1 + jnp.sqrt(jnp.abs(dq))) / (2.0 * safe_aq)
-        safe_f1 = jnp.where(f1 == 0.0, 1.0, f1)
-        xg = jnp.where(aq == 0.0,
-                       jnp.where(f1 == 0.0, x1,
-                                 x1 + (target - c1) / safe_f1), xg)
+        tq = target - c1
+        dq = f1 * f1 + 4.0 * aq * tq
+        den = f1 + jnp.sqrt(jnp.maximum(dq, 0.0))
+        safe_den = jnp.where(den <= 0.0, 1.0, den)
+        xg = jnp.where(den <= 0.0, x1, x1 + 2.0 * tq / safe_den)
         xg = jnp.clip(xg, -s, s)
         # Newton refinement on the normalized residual C(x)/cmax - q
         chat_n = chat / cmax[:, None]

@@ -98,16 +98,22 @@ def _gather_cols(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 def _invert_quadratic(f1, f2, c1, q, x1, x2):
     """Invert the quadratic CDF segment (linear density between grid nodes):
-    solve A*(x-x1)^2 + f1*(x-x1) = q - c1 (reference tt_irt_sqr.m:156-169),
-    with linear and constant fallbacks, clipped into [x1, x2]."""
+    solve A*(x-x1)^2 + f1*(x-x1) = q - c1 (reference tt_irt_sqr.m:156-169).
+
+    Uses the citardauq root form 2t / (f1 + sqrt(f1^2 + 4At)) instead of
+    the reference's (-f1 + sqrt(D)) / (2A): the latter cancels
+    catastrophically when the density is nearly flat (A -> 0 makes
+    sqrt(D) - f1 an ulp-level difference divided by a tiny A — observed
+    1e-4-scale sample errors in the reference formula at flat cells).
+    The stable form needs no A==0 special case, degrades smoothly to
+    the linear solve, and is clipped into [x1, x2]."""
     h3 = x2 - x1
     aq = 0.5 * (f2 - f1) / h3
-    dq = f1 * f1 + 4.0 * aq * (q - c1)
-    safe_aq = jnp.where(aq == 0.0, 1.0, aq)
-    x_quad = x1 + (-f1 + jnp.sqrt(jnp.abs(dq))) / (2.0 * safe_aq)
-    safe_f1 = jnp.where(f1 == 0.0, 1.0, f1)
-    x_lin = x1 + (q - c1) / safe_f1
-    xk = jnp.where(aq == 0.0, jnp.where(f1 == 0.0, x1, x_lin), x_quad)
+    t = q - c1
+    dq = f1 * f1 + 4.0 * aq * t
+    den = f1 + jnp.sqrt(jnp.maximum(dq, 0.0))
+    safe_den = jnp.where(den <= 0.0, 1.0, den)
+    xk = jnp.where(den <= 0.0, x1, x1 + 2.0 * t / safe_den)
     return jnp.clip(xk, x1, x2)
 
 
@@ -442,8 +448,10 @@ def tt_irt_sqr(grid, f: TT, q, block: int | None = None,
          D variables.
       use_scan: force/forbid the rank-padded scan fast path (default:
          automatic — used when grids are uniform and D == d).
-      precision: 'f64', 'f32' or 'mixed' (f32 contractions + f64 CDF
-         inversion; scan path only) — see irt_scan.py.
+      precision: 'f64', 'f32', 'mixed', 'hi' or 'ds' (scan path only)
+         — see irt_scan.py.  On TPU 'f32' meets the 1e-6 sample-parity
+         bar at full speed; 'hi' adds factor-form (cancellation-free)
+         conditionals for ill-conditioned TTs.
     Returns:
       (xq, lFapp): samples (M, D) and log approximate density (M,).
     """

@@ -8,11 +8,33 @@ same shape, and the whole recursion becomes ONE `lax.scan` body compiled
 once.  Zero padding is exact: every contraction is linear in the padded
 entries, so the padded lanes contribute nothing.
 
-Bandwidth note: the conditional marginal is computed as
+Precision modes (see _PRECISIONS):
+
+* 'f64'   — reference-accurate everywhere (native on CPU, emulated and
+  ~100x slower on TPU).
+* 'f32' / 'mixed' — Gram-form conditionals (fk = (phi ⊗ phi) @ P, one
+  MXU matmul per dim); 'mixed' promotes the CDF build + quadratic
+  inversion to f64.  The Gram form squares the condition number, so the
+  low-density tails carry absolute error at the f32 matmul floor —
+  relative tail error ~ eps/rho at density ratio rho.
+* 'hi'    — FACTOR-form conditionals: the backward semi-marginal Gram
+  G_k is carried in f64 and Cholesky-factored per dim (the scan analog
+  of the reference's QR trick, tt_irt_sqr.m:63-80), and the forward
+  pass computes fk = ||phi @ (C_k L_k)||^2 — a positive sum of squares
+  with NO cancellation, so the tail error improves to ~ eps/sqrt(rho).
+  All matmuls run at Precision.HIGHEST (the TPU default for f32
+  operands is bf16 passes, ~2e-3 relative — useless here).
+* 'ds'    — 'hi' plus double-single (compensated f32) carries for the
+  prefix interface phi and the core interpolation, removing the error
+  accumulated across the d-dim conditioning chain (ops/doublesingle.py).
+  The remaining floor is the f32 accumulation inside the MXU matmul.
+
+Bandwidth note: the Gram-form conditional is computed as
 ``fk = (phi ⊗ phi) @ P`` — an (Mb, r^2) outer product times an
 (r^2, n) matrix — instead of the naive (Mb, r, n) chained einsum.  This
 keeps the largest intermediate at O(Mb r^2) instead of O(Mb r n) and
-maps the hot op onto a single MXU matmul per dimension.
+maps the hot op onto a single MXU matmul per dimension.  The factor
+form costs the same MACs with an (Mb, n r) intermediate.
 
 Used automatically by tt_irt_sqr / tt_irt_lin / tt_rt_sqr when the grid
 is uniform across dimensions and the full joint is sampled.
@@ -25,19 +47,28 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops.doublesingle import (
+    ds_cumsum,
+    ds_from_f64,
+    ds_mul,
+    ds_scale_exact,
+    ds_sum_pairwise,
+    ds_to_f64,
+    two_sum,
+)
 from ..ops.tt import TT
 from .irt import (
-    _bisect_cdf,
-    _fix_degenerate,
-    _gather_cols,
     _grid_spacings,
     _invert_quadratic,
     _num_blocks,
     _pad_rows,
-    _trapz_cdf,
 )
 
 __all__ = ["stack_padded", "irt_scan", "can_use_scan"]
+
+# TPU matmuls on f32 operands default to single-pass bf16 (~2e-3
+# relative); every matmul in this module states its precision.
+_HI = jax.lax.Precision.HIGHEST
 
 
 def can_use_scan(tt: TT, grids, dsample: int) -> bool:
@@ -64,8 +95,15 @@ def stack_padded(tt: TT, grids):
     return cstack, xstack
 
 
+def _trapz_w2(hstack):
+    """Composite trapezoid weights from the spacing rows."""
+    return 0.5 * jnp.concatenate([hstack[:, 1:2],
+                                  hstack[:, 1:-1] + hstack[:, 2:],
+                                  hstack[:, -1:]], axis=1)
+
+
 def _prepare_scan(cstack, xstack, stable: bool = False):
-    """Backward semi-marginalization as a reversed scan.
+    """Backward semi-marginalization as a reversed scan (Gram form).
 
     Two carries for the integral over x_{>k}:
     * stable=True: the reference's thin R factor via QR
@@ -75,19 +113,19 @@ def _prepare_scan(cstack, xstack, stable: bool = False):
       to compile on TPU;
     * stable=False: carry the Gram matrix G = R R^T directly — exact in
       exact arithmetic, squares the condition number; used on TPU where
-      the sampler runs in reduced precision anyway.
+      the sampler runs in reduced precision anyway ('hi'/'ds' instead
+      carry the f64 Gram + Cholesky, see _prepare_scan_factor).
     The caller picks by backend."""
     d, r, n, _ = cstack.shape
     hstack = jax.vmap(_grid_spacings)(xstack)              # (d, n)
-    w2 = 0.5 * jnp.concatenate([hstack[:, 1:2],
-                                hstack[:, 1:-1] + hstack[:, 2:],
-                                hstack[:, -1:]], axis=1)   # (d, n)
+    w2 = _trapz_w2(hstack)                                 # (d, n)
 
     if stable:
         def body(rfac, inp):
             core, w2k = inp                                # (r,n,r), (n,)
-            b = jnp.einsum("anb,bc->anc", core, rfac)      # (r, n, r)
-            pk = jnp.einsum("anc,bnc->abn", b, b)
+            b = jnp.einsum("anb,bc->anc", core, rfac,
+                           precision=_HI)                  # (r, n, r)
+            pk = jnp.einsum("anc,bnc->abn", b, b, precision=_HI)
             wb = b * jnp.sqrt(w2k)[None, :, None]
             mat = jnp.reshape(wb, (r, n * r)).T
             rnew = jnp.linalg.qr(mat)[1].T                 # (r, r)
@@ -98,9 +136,9 @@ def _prepare_scan(cstack, xstack, stable: bool = False):
     else:
         def body(gram, inp):
             core, w2k = inp                                # (r,n,r), (n,)
-            t = jnp.einsum("anc,cd->and", core, gram)
-            pk = jnp.einsum("and,bnd->abn", t, core)
-            gnew = jnp.einsum("abn,n->ab", pk, w2k)
+            t = jnp.einsum("anc,cd->and", core, gram, precision=_HI)
+            pk = jnp.einsum("and,bnd->abn", t, core, precision=_HI)
+            gnew = jnp.einsum("abn,n->ab", pk, w2k, precision=_HI)
             gnew = 0.5 * (gnew + gnew.T)
             # renormalize: the conditional CDFs are normalized row-wise,
             # so the carried scale is arbitrary; without this the product
@@ -116,6 +154,42 @@ def _prepare_scan(cstack, xstack, stable: bool = False):
     return jnp.flip(p_rev, 0), hstack                      # (d, r, r, n)
 
 
+def _prepare_scan_factor(cstack, xstack):
+    """Backward semi-marginalization in FACTOR form, f64 throughout.
+
+    Carries the suffix Gram G_k in f64 and emits the per-dim factor
+    B_k(j) = C_k(j) @ L_k with G_k = L_k L_k^T (Cholesky) — the scan
+    analog of the reference's QR-marginalization (tt_irt_sqr.m:63-80).
+    The forward pass then evaluates the conditional as a positive sum
+    of squares ||phi @ B_k(j)||^2, which keeps the RELATIVE error of
+    low-density tails at the working-precision floor instead of the
+    absolute floor the Gram form has.  Cost: d Cholesky factorizations
+    of r x r — negligible even under TPU f64 emulation."""
+    cstack = cstack.astype(jnp.float64)
+    xstack = xstack.astype(jnp.float64)
+    d, r, n, _ = cstack.shape
+    hstack = jax.vmap(_grid_spacings)(xstack)
+    w2 = _trapz_w2(hstack)
+    eye = jnp.eye(r, dtype=jnp.float64)
+
+    def body(gram, inp):
+        core, w2k = inp                                    # (r,n,r), (n,)
+        # padded lanes carry exact-zero diagonal: jitter keeps the
+        # Cholesky finite there; the factor columns stay exactly zero
+        # because the padded core columns are zero.
+        jit_eps = 1e-14 * jnp.max(jnp.diagonal(gram)) + 1e-290
+        lfac = jnp.linalg.cholesky(gram + jit_eps * eye)
+        b = jnp.einsum("anc,cd->and", core, lfac)          # (r, n, r)
+        gnew = jnp.einsum("anc,bnc,n->ab", b, b, w2k)
+        gnew = 0.5 * (gnew + gnew.T)
+        scale = jnp.maximum(jnp.max(jnp.abs(gnew)), 1e-300)
+        return gnew / scale, b
+
+    rev = (jnp.flip(cstack, 0), jnp.flip(w2, 0))
+    _, b_rev = jax.lax.scan(body, eye, rev)
+    return jnp.flip(b_rev, 0), hstack                      # (d, r, n, r)
+
+
 def _prepare_scan_lin(cstack, xstack):
     """Backward trapezoid integration for the linear (density) sampler."""
     d, r, n, _ = cstack.shape
@@ -123,7 +197,8 @@ def _prepare_scan_lin(cstack, xstack):
 
     def body(pprev, inp):
         core, hk = inp
-        b = jnp.einsum("anb,b->an", core, pprev)           # (r, n)
+        b = jnp.einsum("anb,b->an", core, pprev,
+                       precision=_HI)                      # (r, n)
         pnext = jnp.sum(0.5 * (b[:, :-1] + b[:, 1:]) * hk[1:], axis=1)
         # scale-invariant renormalization (see _prepare_scan)
         scale = jnp.maximum(jnp.max(jnp.abs(pnext)), 1e-300)
@@ -135,44 +210,55 @@ def _prepare_scan_lin(cstack, xstack):
     return jnp.flip(p_rev, 0), hstack                      # (d, r, n)
 
 
-def _step(mode, n, cdf_dtype, carry, inp):
-    """One dimension of the transform, gather-free.
+def _cdf_invert(mode, n, fk, xp, h, qp):
+    """Shared CDF build + bracket locate + quadratic solve, in fk's
+    dtype (the promoted precision).  Gather-free: TPU gathers over a
+    middle axis are ~10x slower than dense one-hot contractions, so the
+    bracket index comes from a count reduction and bracket values from
+    one-hot row dots.
 
-    TPU gathers over a middle axis are an order of magnitude slower than
-    dense contractions, so every lookup is expressed as a one-hot /
-    interpolation-weight contraction (MXU matmuls + VPU reductions):
-    the bracket index comes from a count reduction, bracket values from
-    one-hot row dots, and the prefix conditioning from an interpolation
-    matrix times the unfolded core.  ``cdf_dtype`` lets the CDF build +
-    inversion run at higher precision than the bulk contractions."""
-    phi, lf = carry                                        # (Mb, r), (Mb,)
-    pk, core, x, h, qk = inp
-    mb, r = phi.shape
-    cdt = pk.dtype  # contraction dtype (may be lower than the carry's)
-    if mode == "lin":
-        fk = jnp.abs(phi.astype(cdt) @ pk)                 # (Mb, n)
-    else:
-        # outer product in the carry precision, matmul in cdt: the
-        # MXU matmul dominates cost; the f64 outer product is small
-        g = (phi[:, :, None] * phi[:, None, :]).reshape(mb, r * r)
-        fk = g.astype(cdt) @ jnp.reshape(pk, (r * r, n))   # (Mb, n)
-    # ---- CDF build + inversion (possibly promoted precision) ----
-    fk = fk.astype(cdf_dtype)
-    xp = x.astype(cdf_dtype)
-    qp = qk.astype(cdf_dtype)
-    ck = _trapz_cdf(fk, h.astype(cdf_dtype))
-    fk, ck = _fix_degenerate(fk, ck, xp)
+    TWO-SIDED inversion: seeds past the median invert against the
+    right-tail mass (a reversed cumsum of only-small terms) instead of
+    ``q - C(x)`` with C near 1.  The one-sided form amplifies the
+    CDF's absolute rounding floor by 1/f(x) in the far tail — the
+    condition number of the map is intrinsic, but summing from the
+    near side keeps the perturbation at eps * (local tail mass), so
+    the realized error stays ~eps * (tail decay length) even where
+    f ~ 1e-11 (observed: a 1.7e-4 one-sided outlier at d=40 collapses
+    to the working-precision floor).  Returns (out, dlf, la, lb, oh0,
+    oh1)."""
+    cdt = fk.dtype
+    dc = 0.5 * (fk[..., :-1] + fk[..., 1:]) * h[1:]        # (Mb, n-1)
+    total = jnp.sum(dc, axis=-1, keepdims=True)
+    # degenerate rows (no mass) fall back to the uniform density on the
+    # grid box (reference zero-fix, tt_irt_lin.m:94-100)
+    bad = total <= 0.0
+    dc = jnp.where(bad, (xp[1:] - xp[:-1])[None, :], dc)
+    fk = jnp.where(bad, jnp.ones_like(fk), fk)
+    total = jnp.sum(dc, axis=-1, keepdims=True)
+    dc = dc / total
+    fk = fk / total
+    zero = jnp.zeros(fk.shape[:-1] + (1,), cdt)
+    ck = jnp.concatenate([zero, jnp.cumsum(dc, axis=-1)], axis=-1)
+    # right-tail mass at each node, summed from the right
+    cr = jnp.concatenate([jnp.flip(jnp.cumsum(jnp.flip(dc, -1), -1), -1),
+                          zero], axis=-1)                  # (Mb, n)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # (1, n)
     if mode == "rt":
         below = (xp[None, :] < qp[:, None]).astype(jnp.int32)
         # exclude the last point so i0 <= n-2
         i0 = jnp.clip(jnp.sum(below[:, :], axis=1) - 1, 0, n - 2)
     else:
+        right = qp > 0.5
         below = (ck < qp[:, None]).astype(jnp.int32)
-        i0 = jnp.clip(jnp.sum(below, axis=1) - 1, 0, n - 2)
-    oh0 = (iota == i0[:, None]).astype(cdf_dtype)          # (Mb, n)
-    oh1 = (iota == (i0 + 1)[:, None]).astype(cdf_dtype)
+        i0l = jnp.sum(below, axis=1) - 1
+        above = (cr > (1.0 - qp)[:, None]).astype(jnp.int32)
+        i0r = jnp.sum(above, axis=1) - 1
+        i0 = jnp.clip(jnp.where(right, i0r, i0l), 0, n - 2)
+    oh0 = (iota == i0[:, None]).astype(cdt)                # (Mb, n)
+    oh1 = (iota == (i0 + 1)[:, None]).astype(cdt)
     c1 = jnp.sum(ck * oh0, axis=1)
+    cr2 = jnp.sum(cr * oh1, axis=1)
     f1 = jnp.sum(fk * oh0, axis=1)
     f2 = jnp.sum(fk * oh1, axis=1)
     x1 = jnp.sum(xp[None, :] * oh0, axis=1)
@@ -180,19 +266,151 @@ def _step(mode, n, cdf_dtype, carry, inp):
     if mode == "rt":
         xk = qp
         aq = 0.5 * (f2 - f1) / (x2 - x1)
-        out = aq * (xk - x1) ** 2 + f1 * (xk - x1) + c1
+        cl_ = aq * (xk - x1) ** 2 + f1 * (xk - x1) + c1
+        # mirrored evaluation from the right for the upper half
+        yk = x2 - xk
+        cr_ = 1.0 - (f2 * yk - aq * yk * yk + cr2)
+        out = jnp.where(cl_ > 0.5, cr_, cl_)
     else:
-        xk = _invert_quadratic(f1, f2, c1, qp, x1, x2)
+        xl_ = _invert_quadratic(f1, f2, c1, qp, x1, x2)
+        # mirror: invert the reflected cell for mass-from-the-right
+        xr_ = -_invert_quadratic(f2, f1, cr2, 1.0 - qp, -x2, -x1)
+        xk = jnp.where(right, xr_, xl_)
         out = xk
     la = (x2 - xk) / (x2 - x1)
     lb = (xk - x1) / (x2 - x1)
-    lf = lf + jnp.log(f1 * la + f2 * lb).astype(lf.dtype)
+    dlf = jnp.log(f1 * la + f2 * lb)
+    return out, dlf, la, lb, oh0, oh1
+
+
+def _cdf_invert_fast(mode, n, fk, xp, h32, qp):
+    """Two-sided CDF inversion with f32 + double-single row work and
+    f64 restricted to per-sample (Mb,) vectors.
+
+    Emulated f64 on TPU costs ~10x per element; the (Mb, n) CDF rows
+    are the bulk, so they run in f32 with compensated (double-single,
+    ~2^-48) cumsums — the same effective precision as the emulated-f64
+    path — and the one-hot bracket reads are error-free by
+    construction.  Only the ~10 per-sample scalars (bracket values,
+    quadratic solve, log-density) are promoted to f64.
+
+    fk: (Mb, n) f32, unnormalized, nonnegative.  xp: (n,) f64 grid.
+    h32: (n,) f32 spacings.  qp: (Mb,) f64 seeds (x values for 'rt').
+    Returns (out, dlf, la, lb, oh0, oh1) with f64 scalars and f32
+    one-hots."""
+    dc = 0.5 * (fk[..., :-1] + fk[..., 1:]) * h32[1:]      # (Mb, n-1)
+    total = jnp.sum(dc, axis=-1, keepdims=True)
+    # degenerate rows (no mass) fall back to the uniform density on the
+    # grid box (reference zero-fix, tt_irt_lin.m:94-100)
+    bad = total <= 0.0
+    dc = jnp.where(bad, h32[1:], dc)
+    fk = jnp.where(bad, jnp.ones_like(fk), fk)
+    ch, cl = ds_cumsum(dc, axis=-1)                        # (Mb, n-1)
+    zero = jnp.zeros(fk.shape[:-1] + (1,), fk.dtype)
+    ckh = jnp.concatenate([zero, ch], axis=-1)
+    ckl = jnp.concatenate([zero, cl], axis=-1)
+    crh_, crl_ = ds_cumsum(jnp.flip(dc, -1), axis=-1)
+    crh = jnp.concatenate([jnp.flip(crh_, -1), zero], axis=-1)
+    crl = jnp.concatenate([jnp.flip(crl_, -1), zero], axis=-1)
+    tot = (ckh[:, -1].astype(jnp.float64)
+           + ckl[:, -1].astype(jnp.float64))               # (Mb,)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # (1, n)
+    xp32 = xp.astype(jnp.float32)
+    xplo = (xp - xp32.astype(jnp.float64)).astype(jnp.float32)
+    if mode == "rt":
+        qp32 = qp.astype(jnp.float32)
+        below = (xp32[None, :] < qp32[:, None]).astype(jnp.int32)
+        # exclude the last point so i0 <= n-2
+        i0 = jnp.clip(jnp.sum(below, axis=1) - 1, 0, n - 2)
+        right = jnp.zeros(qp.shape, bool)
+        qt = ut = jnp.zeros_like(qp)
+    else:
+        right = qp > 0.5
+        qt = qp * tot
+        ut = (1.0 - qp) * tot
+        qth, qtl = ds_from_f64(qt)
+        uth, utl = ds_from_f64(ut)
+        # lexicographic ds compare: pairs are normalized (|lo| <= ulp(hi))
+        ltl = (ckh < qth[:, None]) | ((ckh == qth[:, None])
+                                      & (ckl < qtl[:, None]))
+        i0l = jnp.sum(ltl.astype(jnp.int32), axis=1) - 1
+        gtr = (crh > uth[:, None]) | ((crh == uth[:, None])
+                                      & (crl > utl[:, None]))
+        i0r = jnp.sum(gtr.astype(jnp.int32), axis=1) - 1
+        i0 = jnp.clip(jnp.where(right, i0r, i0l), 0, n - 2)
+    oh0 = (iota == i0[:, None]).astype(jnp.float32)        # (Mb, n)
+    oh1 = (iota == (i0 + 1)[:, None]).astype(jnp.float32)
+
+    def read_ds(hpart, lpart, oh):
+        # one-hot row dots are error-free: exactly one nonzero term
+        return (jnp.sum(hpart * oh, axis=1).astype(jnp.float64)
+                + jnp.sum(lpart * oh, axis=1).astype(jnp.float64))
+
+    c1 = read_ds(ckh, ckl, oh0)
+    cr2 = read_ds(crh, crl, oh1)
+    f1 = jnp.sum(fk * oh0, axis=1).astype(jnp.float64)
+    f2 = jnp.sum(fk * oh1, axis=1).astype(jnp.float64)
+    x1 = read_ds(xp32[None, :], xplo[None, :], oh0)
+    x2 = read_ds(xp32[None, :], xplo[None, :], oh1)
+    if mode == "rt":
+        xk = qp
+        yk = x2 - xk
+        aq = 0.5 * (f2 - f1) / (x2 - x1)
+        cl_ = aq * (xk - x1) ** 2 + f1 * (xk - x1) + c1
+        cr_ = tot - (f2 * yk - aq * yk * yk + cr2)
+        out = jnp.where(cl_ > 0.5 * tot, cr_, cl_) / tot
+    else:
+        # unnormalized solve: density, mass and targets share the scale
+        xl_ = _invert_quadratic(f1, f2, c1, qt, x1, x2)
+        xr_ = -_invert_quadratic(f2, f1, cr2, ut, -x2, -x1)
+        xk = jnp.where(right, xr_, xl_)
+        out = xk
+    la = (x2 - xk) / (x2 - x1)
+    lb = (xk - x1) / (x2 - x1)
+    dlf = jnp.log(f1 * la + f2 * lb) - jnp.log(tot)
+    return out, dlf, la, lb, oh0, oh1
+
+
+def _step(mode, n, cdf_dtype, carry, inp):
+    """One dimension of the transform, Gram form (f64/f32/mixed).
+
+    ``cdf_dtype`` lets the CDF build + inversion run at higher precision
+    than the bulk contractions; the prefix conditioning runs as an
+    interpolation-matrix matmul against the unfolded core."""
+    phi, lf = carry                                        # (Mb, r), (Mb,)
+    pk, core, x, h, qk = inp
+    mb, r = phi.shape
+    cdt = pk.dtype  # contraction dtype (may be lower than the carry's)
+    if mode == "lin":
+        fk = jnp.abs(jnp.matmul(phi.astype(cdt), pk,
+                                precision=_HI))            # (Mb, n)
+    else:
+        # outer product in the carry precision, matmul in cdt: the
+        # MXU matmul dominates cost; the f64 outer product is small
+        g = (phi[:, :, None] * phi[:, None, :]).reshape(mb, r * r)
+        fk = jnp.matmul(g.astype(cdt), jnp.reshape(pk, (r * r, n)),
+                        precision=_HI)                     # (Mb, n)
+    # ---- CDF build + inversion (possibly promoted precision) ----
+    if cdt == jnp.float32 and cdf_dtype == jnp.float64:
+        # 'mixed': f32 rows + compensated cumsums + f64 scalars
+        out, dlf, la, lb, oh0, oh1 = _cdf_invert_fast(
+            mode, n, jnp.maximum(fk, 0.0), x.astype(jnp.float64),
+            h.astype(jnp.float32), qk.astype(jnp.float64))
+    else:
+        fk = fk.astype(cdf_dtype)
+        xp = x.astype(cdf_dtype)
+        qp = qk.astype(cdf_dtype)
+        out, dlf, la, lb, oh0, oh1 = _cdf_invert(
+            mode, n, fk, xp, h.astype(cdf_dtype), qp)
+    lf = lf + dlf.astype(lf.dtype)
     # prefix conditioning via the interpolation matrix:
     # W (Mb, n) with la at i0 and lb at i0+1; B = W @ unfold(core).
-    w = (la[:, None] * oh0 + lb[:, None] * oh1).astype(cdt)
+    w = (la[:, None].astype(cdt) * oh0.astype(cdt)
+         + lb[:, None].astype(cdt) * oh1.astype(cdt))
     core_mat = jnp.reshape(jnp.transpose(core, (1, 0, 2)), (n, r * r))
-    b = jnp.reshape(w @ core_mat, (mb, r, r)).astype(phi.dtype)
-    phi = jnp.einsum("mi,mij->mj", phi, b)
+    b = jnp.reshape(jnp.matmul(w, core_mat, precision=_HI),
+                    (mb, r, r)).astype(phi.dtype)
+    phi = jnp.einsum("mi,mij->mj", phi, b, precision=_HI)
     # per-sample renormalization: the conditional is scale-invariant and
     # the running product would overflow the f32 exponent range of TPU
     # f64 emulation over many dims.
@@ -202,81 +420,201 @@ def _step(mode, n, cdf_dtype, carry, inp):
     return (phi, lf), out
 
 
-def _forward_scan(mode, q, pstack, cstack, xstack, hstack,
-                  cdf_dtype=None):
-    mb = q.shape[0]
-    d, r = cstack.shape[0], cstack.shape[1]
-    n = cstack.shape[2]
-    cdf_dtype = cdf_dtype or cstack.dtype
-    # NOTE: the prefix chain stays in the contraction dtype on purpose.
-    # Promoting it to f64 was measured to cost ~20x on TPU (emulated
-    # f64 elementwise) while leaving the sample error unchanged: the
-    # error floor of reduced precision comes from the CDF inversion's
-    # sensitivity to density rounding in low-density regions, not from
-    # rounding accumulating across the conditioning chain.
-    phi0 = jnp.zeros((mb, r), cstack.dtype).at[:, 0].set(1.0)
-    lf0 = jnp.zeros((mb,), cdf_dtype)
-    xs = (pstack, cstack, xstack, hstack, q.T)
-    (_, lf), outs = jax.lax.scan(partial(_step, mode, n, cdf_dtype),
-                                 (phi0, lf0), xs)
-    return outs.T, lf
+def _step_factor(mode, n, carry, inp):
+    """One dimension, factor form in f32 ('hi'): the conditional is the
+    positive square-sum fk = ||phi @ B_k(j)||^2 — cancellation-free, so
+    tail relative error sits at ~eps/sqrt(rho) instead of the Gram
+    form's eps/rho.  CDF work in f64."""
+    phi, lf = carry                                        # (Mb, r) f32
+    bmat, cmat, x, h, qk = inp             # (r, n*r), (n, r*r) unfolded
+    mb, r = phi.shape
+    v = jnp.matmul(phi, bmat, precision=_HI)               # (Mb, n*r)
+    v = jnp.reshape(v, (mb, n, r))
+    fk = jnp.sum(v * v, axis=2)                            # (Mb, n) f32
+    out, dlf, la, lb, oh0, oh1 = _cdf_invert_fast(
+        mode, n, fk, x, h.astype(jnp.float32), qk)
+    lf = lf + dlf
+    w = (la[:, None].astype(jnp.float32) * oh0
+         + lb[:, None].astype(jnp.float32) * oh1)
+    b = jnp.reshape(jnp.matmul(w, cmat, precision=_HI), (mb, r, r))
+    phi = jnp.einsum("mi,mij->mj", phi, b, precision=_HI)
+    scale = jnp.maximum(jnp.max(jnp.abs(phi), axis=1, keepdims=True),
+                        jnp.asarray(1e-30, phi.dtype))
+    phi = phi / scale
+    return (phi, lf), out
+
+
+def _step_ds(mode, n, carry, inp):
+    """One dimension, factor form with double-single carries ('ds').
+
+    The prefix interface phi and the interpolated core product are
+    carried as unevaluated f32 pairs (~2^-48 relative), so conditioning
+    error does not accumulate across the d dims; each big contraction
+    is 2-3 HIGHEST-precision MXU matmuls plus O(Mb n r) VPU
+    compensation ops.  The residual error floor is the f32 accumulation
+    inside the hi@hi matmul."""
+    (phh, phl), lf = carry                                 # (Mb, r) x2
+    bh, bl, ch, cl, x, h, qk = inp                         # b* (r, n*r)
+    mb, r = phh.shape
+    # v = phi @ B in double-single (split product; the dominant term's
+    # own accumulation error is the mode's floor)
+    v1 = jnp.matmul(phh, bh, precision=_HI)                # (Mb, n*r)
+    v2 = jnp.matmul(phh, bl, precision=_HI) + \
+        jnp.matmul(phl, bh, precision=_HI)
+    vh, vl = two_sum(v1, v2)
+    vh = jnp.reshape(vh, (mb, n, r))
+    vl = jnp.reshape(vl, (mb, n, r))
+    sqh, sql = ds_mul(vh, vl, vh, vl)
+    fh, fl = ds_sum_pairwise(sqh, sql, axis=2)
+    fk = ds_to_f64(fh, fl)                                 # (Mb, n)
+    out, dlf, la, lb, oh0, oh1 = _cdf_invert(mode, n, fk, x, h, qk)
+    lf = lf + dlf
+    # interpolation weights exact in ds (la/lb are f64)
+    w64 = la[:, None] * oh0 + lb[:, None] * oh1            # (Mb, n) f64
+    wh, wl = ds_from_f64(w64)
+    b1 = jnp.matmul(wh, ch, precision=_HI)                 # (Mb, r*r)
+    b2 = jnp.matmul(wh, cl, precision=_HI) + \
+        jnp.matmul(wl, ch, precision=_HI)
+    bh2, bl2 = two_sum(b1, b2)
+    bh2 = jnp.reshape(bh2, (mb, r, r))
+    bl2 = jnp.reshape(bl2, (mb, r, r))
+    # phi_new = phi @ b as a ds-compensated batched matvec (r is small:
+    # O(Mb r^2) VPU work)
+    ph, pl = ds_mul(phh[:, :, None], phl[:, :, None], bh2, bl2)
+    phh, phl = ds_sum_pairwise(ph, pl, axis=1)             # (Mb, r)
+    denom = jnp.maximum(jnp.max(jnp.abs(phh), axis=1, keepdims=True),
+                        jnp.asarray(1e-30, jnp.float32))
+    phh, phl = ds_scale_exact(phh, phl, denom)             # exact: 2^k
+    return ((phh, phl), lf), out
 
 
 _PRECISIONS = {
-    # name -> (contraction dtype, CDF/inversion dtype)
-    "f64": ("float64", "float64"),
-    "f32": ("float32", "float32"),
-    "mixed": ("float32", "float64"),
+    # name -> (contraction dtype, CDF/inversion dtype, family)
+    "f64": ("float64", "float64", "gram"),
+    "f32": ("float32", "float32", "gram"),
+    "mixed": ("float32", "float64", "gram"),
+    "hi": ("float32", "float64", "factor"),
+    "ds": ("float32", "float64", "ds"),
 }
+
+
+def _family(mode, precision):
+    """The kernel family actually used: 'lin' has no factor analog."""
+    fam = _PRECISIONS[precision][2]
+    return "gram" if mode == "lin" else fam
+
+
+def _prep(mode, cstack, xstack, precision, stable):
+    """Backward preparation; returns the pytree the forward pass scans
+    over (everything except the per-block seeds)."""
+    cdt, pdt, _ = _PRECISIONS[precision]
+    family = _family(mode, precision)
+    if family == "gram":
+        cs = cstack.astype(cdt)
+        xs = xstack.astype(pdt)
+        if mode == "lin":
+            pstack, hstack = _prepare_scan_lin(cs, xstack.astype(cdt))
+        else:
+            pstack, hstack = _prepare_scan(cs, xstack.astype(cdt),
+                                           stable=stable)
+        return (pstack, cs, xs, hstack.astype(pdt))
+    # factor families prepare in f64 and downcast the emitted factor
+    bstack, hstack = _prepare_scan_factor(cstack, xstack)
+    d, r, n, _ = bstack.shape
+    bmat = jnp.reshape(bstack, (d, r, n * r))
+    cmat = jnp.reshape(jnp.transpose(cstack.astype(jnp.float64),
+                                     (0, 2, 1, 3)), (d, n, r * r))
+    xs = xstack.astype(jnp.float64)
+    hs = hstack.astype(jnp.float64)
+    if family == "factor":
+        return (bmat.astype(jnp.float32), cmat.astype(jnp.float32),
+                xs, hs)
+    bh, bl = ds_from_f64(bmat)
+    ch, cl = ds_from_f64(cmat)
+    return (bh, bl, ch, cl, xs, hs)
+
+
+def _fwd(mode, precision, prep, q):
+    """Forward pass over one sample block given prepared marginals."""
+    cdt, pdt, _ = _PRECISIONS[precision]
+    family = _family(mode, precision)
+    mb = q.shape[0]
+    if family == "gram":
+        pstack, cs, xs, hs = prep
+        d, r = cs.shape[0], cs.shape[1]
+        n = cs.shape[2]
+        # NOTE: the prefix chain stays in the contraction dtype in the
+        # gram family.  Promoting it to f64 was measured to cost ~20x
+        # on TPU (emulated f64 elementwise); 'ds' carries it as an f32
+        # pair instead.
+        phi0 = jnp.zeros((mb, r), cs.dtype).at[:, 0].set(1.0)
+        lf0 = jnp.zeros((mb,), pdt)
+        xsq = (pstack, cs, xs, hs, q.astype(pdt).T)
+        (_, lf), outs = jax.lax.scan(
+            partial(_step, mode, n, jnp.dtype(pdt)), (phi0, lf0), xsq)
+        return outs.T, lf
+    if family == "factor":
+        bmat, cmat, xs, hs = prep
+        d, r = bmat.shape[0], bmat.shape[1]
+        n = cmat.shape[1]
+        phi0 = jnp.zeros((mb, r), jnp.float32).at[:, 0].set(1.0)
+        lf0 = jnp.zeros((mb,), jnp.float64)
+        xsq = (bmat, cmat, xs, hs, q.astype(jnp.float64).T)
+        (_, lf), outs = jax.lax.scan(partial(_step_factor, mode, n),
+                                     (phi0, lf0), xsq)
+        return outs.T, lf
+    bh, bl, ch, cl, xs, hs = prep
+    d, r = bh.shape[0], bh.shape[1]
+    n = ch.shape[1]
+    phh0 = jnp.zeros((mb, r), jnp.float32).at[:, 0].set(1.0)
+    phl0 = jnp.zeros((mb, r), jnp.float32)
+    lf0 = jnp.zeros((mb,), jnp.float64)
+    xsq = (bh, bl, ch, cl, xs, hs, q.astype(jnp.float64).T)
+    ((_, _), lf), outs = jax.lax.scan(partial(_step_ds, mode, n),
+                                      ((phh0, phl0), lf0), xsq)
+    return outs.T, lf
+
+
+_prep_jit = partial(jax.jit, static_argnames=("mode", "precision",
+                                              "stable"))(
+    lambda mode, cstack, xstack, precision, stable:
+    _prep(mode, cstack, xstack, precision, stable))
+
+_fwd_jit = partial(jax.jit, static_argnames=("mode", "precision"))(
+    lambda mode, precision, prep, q: _fwd(mode, precision, prep, q))
 
 
 @partial(jax.jit, static_argnames=("mode", "precision", "stable"))
 def _irt_scan_one(mode, cstack, xstack, q, precision="f64",
                   stable=False):
-    """One-shot scan transform for a single sample block.
-
-    ``precision``: 'f64' (reference-accurate), 'f32' (fastest), or
-    'mixed' — bulk contractions in f32 on the MXU, CDF build and
-    quadratic inversion in f64 (TPU f64 is emulated and slow; the CDF
-    arrays are O(M n), 10x smaller than the contraction traffic, so
-    promoting only them buys back the accuracy cheaply)."""
-    cdt, pdt = _PRECISIONS[precision]
-    cstack = cstack.astype(cdt)
-    xstack = xstack.astype(pdt)
-    q = q.astype(pdt)
-    if mode == "lin":
-        pstack, hstack = _prepare_scan_lin(cstack, xstack.astype(cdt))
-    else:
-        pstack, hstack = _prepare_scan(cstack, xstack.astype(cdt),
-                                       stable=stable)
-    return _forward_scan(mode, q, pstack, cstack,
-                         xstack, hstack.astype(pdt),
-                         cdf_dtype=jnp.dtype(pdt))
+    """One-shot scan transform for a single sample block (kept for
+    direct use in tests; irt_scan() splits prep from the block loop)."""
+    prep = _prep(mode, cstack, xstack, precision, stable)
+    return _fwd(mode, precision, prep, q)
 
 
 def irt_scan(mode, cstack, xstack, q, block, precision="f64"):
-    import jax as _jax
-
-    # QR-stabilized marginalization off-TPU (see _prepare_scan)
-    stable = _jax.default_backend() != "tpu"
     """Blocked scan-based transform, mode in {'sqr','lin','rt'}.
 
-    Blocking is a *host-side* loop over equally-shaped slices reusing
-    one compiled block program.  (Wrapping the per-dim scan in a
-    `lax.map` over blocks — a nested scan — takes the TPU compiler from
-    seconds to effectively forever; a dispatch loop costs microseconds
-    per block and compiles once for any M.)"""
+    Preparation (the backward marginalization) runs ONCE; blocking the
+    forward pass is a *host-side* loop over equally-shaped slices
+    reusing one compiled block program.  (Wrapping the per-dim scan in
+    a `lax.map` over blocks — a nested scan — takes the TPU compiler
+    from seconds to effectively forever; a dispatch loop costs
+    microseconds per block and compiles once for any M.)"""
+    # QR-stabilized marginalization off-TPU (see _prepare_scan)
+    stable = jax.default_backend() != "tpu"
     m = q.shape[0]
     nb = _num_blocks(m, block)
+    prep = _prep_jit(mode, cstack, xstack, precision, stable)
     if nb <= 1:
-        return _irt_scan_one(mode, cstack, xstack, q, precision, stable)
+        return _fwd_jit(mode, precision, prep, q)
     padded = _pad_rows(q, nb * block)
     xs_parts, lf_parts = [], []
     for b in range(nb):
-        xb, lb = _irt_scan_one(mode, cstack, xstack,
-                               jax.lax.slice_in_dim(padded, b * block,
-                                                    (b + 1) * block),
-                               precision, stable)
+        xb, lb = _fwd_jit(mode, precision, prep,
+                          jax.lax.slice_in_dim(padded, b * block,
+                                               (b + 1) * block))
         xs_parts.append(xb)
         lf_parts.append(lb)
     xs = jnp.concatenate(xs_parts, axis=0)[:m]
