@@ -1,8 +1,10 @@
 """Comparison baselines: DRAM on the shock absorber, DRAM + SVN on the
-predator-prey calibration (reference test_shock_absorber_dram.m,
-test_predator_prey_dram.m, test_predator_prey_svn.m).
+predator-prey calibration, DRAM on the inverse diffusion posterior
+(reference test_shock_absorber_dram.m, test_predator_prey_dram.m,
+test_predator_prey_svn.m, test_diffusion_dram.m).
 
-Usage: python examples/run_baselines.py [--problem shock|pp] [--nsteps N]
+Usage: python examples/run_baselines.py [--problem shock|pp|diffusion]
+       [--nsteps N]
 """
 
 import argparse
@@ -67,13 +69,51 @@ def run_pp(nsteps):
     print(f"SVN predator-prey: particle mean {p.mean(axis=0)}")
 
 
+def run_diffusion(nsteps, meshlevel=0):
+    """DRAM over the KLE parameters of the inverse diffusion problem
+    (test_diffusion_dram.m): exact per-sample FEM likelihood, domain
+    bounds +-sqrt(3), flux QoI means + IACT after burn-in."""
+    from tt_irt_tpu.models import diffusion as df
+
+    prob = df.DiffusionProblem(meshlevel=meshlevel, tol_kle=3e-2)
+    ell = prob.kle_dim
+    # synthetic observations at y0 = 1.5 (run_diffusion.py convention)
+    rng = np.random.default_rng(0)
+    yv = np.full(ell, 1.5)
+    cn = np.exp(np.sqrt(prob.sigma) * (prob.phil @ yv))
+    q_obs = np.asarray(prob.observe(prob.solve_one(jnp.asarray(cn)))) + \
+        rng.standard_normal(prob.m0 ** 2) * np.sqrt(prob.sigma_n)
+    lfn = prob.likelihood_fn(q_obs)
+
+    def lp(y):
+        return lfn(y)[:, 0]
+
+    s3 = np.sqrt(3.0)
+    x0 = np.zeros((4, ell))
+    res = dram(lp, jnp.asarray(x0), nsteps, key=jax.random.PRNGKey(0),
+               bounds=(np.full(ell, -s3), np.full(ell, s3)),
+               cov0=np.eye(ell) * 1e-2, burnin=max(nsteps // 4, 1))
+    chain = np.asarray(res.chain).reshape(-1, ell)
+    qoi = np.asarray(lfn(jnp.asarray(chain)))
+    taus_y = float(np.mean(ti.iact(chain)))
+    tau_f = float(ti.iact(qoi[:, 1:2])[0])
+    print(f"DRAM diffusion (L={ell}): accept={float(res.accept_rate):.3f}"
+          f"  IACT(y)={taus_y:.1f}  IACT(flux)={tau_f:.1f}")
+    print(f"  Q = [flux {qoi[:, 1].mean():.4f}  "
+          f"P(F>1.5) {qoi[:, 2].mean():.4f}]")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--problem", choices=["shock", "pp"], default="shock")
+    ap.add_argument("--problem", choices=["shock", "pp", "diffusion"],
+                    default="shock")
     ap.add_argument("--nsteps", type=int, default=8000)
+    ap.add_argument("--meshlevel", type=int, default=0)
     args = ap.parse_args()
     if args.problem == "shock":
         run_shock(args.nsteps)
+    elif args.problem == "diffusion":
+        run_diffusion(args.nsteps, args.meshlevel)
     else:
         run_pp(args.nsteps)
 

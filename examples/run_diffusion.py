@@ -69,10 +69,11 @@ def main():
     print(f"forward model: {t_forward:.2f}s, {res.funevals} PDE solves, "
           f"ranks {u.ranks}")
 
-    # observables block TT over the parametric dims
+    # observables block TT over the parametric dims: one batched
+    # contraction of the observation operator over the spatial basis
+    # (the reference's per-column loop, test_diffusion_tt.m:119-125)
     u0 = np.asarray(u.cores[0][0])
-    q_cols = np.stack([np.asarray(prob.observe(jnp.asarray(u0[:, j])))
-                       for j in range(u0.shape[1])], axis=1)
+    q_cols = np.asarray(prob.observe(jnp.asarray(u0.T))).T
     core1 = jnp.einsum("qa,anb->qnb", jnp.asarray(q_cols), u.cores[1])
     uav = TT([core1] + list(u.cores[2:]))
     uav_rev = tt_reverse(uav)

@@ -41,10 +41,21 @@ def main():
     ap.add_argument("--r0", type=int, default=15)
     ap.add_argument("--nsamples", type=int, default=10_000)
     ap.add_argument("--precision", default=None)
-    ap.add_argument("--nswp", type=int, default=1)
-    ap.add_argument("--kickrank", type=int, default=0)
+    ap.add_argument("--build-precision", default=None,
+                    help="IRT precision for construction-time pushes "
+                         "(DirtOptions.precision); 'hi' runs the build "
+                         "on TPU at near-f64 accuracy")
+    ap.add_argument("--nswp", default="1",
+                    help="sweeps per level; scalar or comma-separated "
+                         "per-level vector (last value repeats)")
+    ap.add_argument("--kickrank", default="0",
+                    help="rank enrichment; scalar or per-level vector")
     ap.add_argument("--fine-ladder", action="store_true",
                     help="quarter-decade beta steps above 1e-2")
+    ap.add_argument("--beta-extra", default=None,
+                    help="comma-separated extra beta values inserted "
+                         "into the ladder (e.g. 0.75 to halve the last "
+                         "quarter-decade step at d=40)")
     ap.add_argument("--checkpoint", default=None,
                     help="save the DIRT after every accepted level")
     ap.add_argument("--resume", default=None,
@@ -67,6 +78,9 @@ def main():
                                10.0 ** np.arange(-2, 0.25, 0.25)])
     else:
         beta = 10.0 ** np.arange(-4, 0.5, 0.5)
+    if args.beta_extra:
+        extra = [float(v) for v in args.beta_extra.split(",")]
+        beta = np.unique(np.concatenate([beta, extra]))
 
     irtstruct = None
     if args.resume:
@@ -82,13 +96,18 @@ def main():
             assert np.allclose(np.load(base + "_data.npy"), prob.data), \
                 "resumed problem data does not match the checkpoint's"
 
+    def per_level(s, cast=int):
+        vals = [cast(v) for v in str(s).split(",")]
+        return vals[0] if len(vals) == 1 else vals
+
     t0 = time.perf_counter()
     dirt = ti.tt_dirt_approx(
         prob.grids(), prob.tempered_logratio_fn(), beta,
-        nswp=args.nswp, kickrank=args.kickrank, y0=args.r0,
-        boundary=True, stoptol=0.1, checkpoint_path=args.checkpoint,
-        reference="n3", testsamples=1000, seed=0, verb=1,
-        irtstruct=irtstruct)
+        nswp=per_level(args.nswp), kickrank=per_level(args.kickrank),
+        y0=args.r0, boundary=True, stoptol=0.1,
+        checkpoint_path=args.checkpoint, reference="n3",
+        testsamples=1000, seed=0, verb=1, irtstruct=irtstruct,
+        precision=args.build_precision)
     t_build = time.perf_counter() - t0
 
     key = jax.random.PRNGKey(1)

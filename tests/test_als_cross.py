@@ -220,3 +220,79 @@ def test_als_cross_indices_mode(rng):
     uf = np.asarray(tt_full(res.u))
     rel = np.linalg.norm(uf - full) / np.linalg.norm(full)
     assert rel < 1e-6, rel
+
+
+def test_als_cross_random_init_with_kickrank(rng):
+    """random_init combined with kickrank>0 (the reference accepts the
+    options but crashes on a shape clash, als_cross_parametric.m:384;
+    here the residual solution-interface starts as a random projection
+    and the sweeps refine it)."""
+    coeff, assem, state, full = _linear_system_setup()
+    res = als_cross_parametric(coeff, assem, 1e-10, nswp=4, kickrank=4,
+                               random_init=5)
+    uf = np.asarray(tt_full(res.u))
+    rel = np.linalg.norm(uf - full) / np.linalg.norm(full)
+    assert rel < 1e-8, rel
+
+
+def test_diffusion_indices_mode_matches_values_mode(rng):
+    """The diffusion spatial callback in indices mode (coefficient
+    reconstructed from parameter indices, als_cross_parametric.m:191-230)
+    must give the same surrogate as values mode."""
+    prob = df.DiffusionProblem(meshlevel=0, tol_kle=5e-2)
+    ell = prob.kle_dim
+    ygrids = [df.lgwt(5, -np.sqrt(3), np.sqrt(3))[0] for _ in range(ell)]
+    from tt_irt_tpu.ops.tt import tt_sum_many
+
+    terms = []
+    for i in range(ell):
+        cores = [jnp.asarray(
+            (prob.phil[:, i] * np.sqrt(prob.sigma))[None, :, None])]
+        for j in range(ell):
+            cores.append(jnp.asarray(ygrids[j])[None, :, None] if j == i
+                         else jnp.ones((1, len(ygrids[j]), 1)))
+        terms.append(TT(cores))
+    log_a = tt_sum_many(terms, eps=1e-12)
+    af = amen_cross_s([log_a], lambda v: np.exp(np.asarray(v)[:, 0]),
+                      1e-6, y0=8, nswp=4, kickrank=3)
+    r1 = als_cross_parametric(af.tt, prob.assem_solve_fun(), 1e-6,
+                              pua=prob.pua(), nswp=2, kickrank=2)
+    r2 = als_cross_parametric(af.tt,
+                              prob.assem_solve_fun(ygrids=ygrids), 1e-6,
+                              pua=prob.pua(), nswp=2, kickrank=2,
+                              funarg="indices")
+    f1 = np.asarray(tt_full(r1.u))
+    f2 = np.asarray(tt_full(r2.u))
+    rel = np.linalg.norm(f1 - f2) / np.linalg.norm(f1)
+    # indices mode evaluates the exact exp-coefficient, values mode the
+    # TT surrogate of it: agreement at the surrogate tolerance
+    assert rel < 1e-3, rel
+
+
+@pytest.mark.slow
+def test_diffusion_posterior_method_agreement():
+    """BENCH_NOTES regression: TT-MH and TT-qIW flux QoI agree within a
+    few percent on the inverse diffusion posterior (the reference's own
+    validation criterion — statistical agreement between independent
+    methods, test_diffusion_tt.m vs test_diffusion_qmcrat.m)."""
+    import re
+    import subprocess
+    import sys as _sys
+
+    qois = {}
+    for corr in ("mcmc", "iw"):
+        out = subprocess.run(
+            [_sys.executable, "examples/run_diffusion.py", "--log2n",
+             "12", "--correction", corr],
+            capture_output=True, text=True, timeout=1200,
+            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+            cwd=__import__("os").path.dirname(
+                __import__("os").path.dirname(
+                    __import__("os").path.abspath(__file__))))
+        assert out.returncode == 0, out.stderr[-2000:]
+        m = re.search(r"QoI \[flux, P\(flux>1.5\)\]: \[([^\]]+)\]",
+                      out.stdout)
+        assert m, out.stdout[-2000:]
+        qois[corr] = float(m.group(1).split()[0])
+    rel = abs(qois["mcmc"] - qois["iw"]) / abs(qois["iw"])
+    assert rel < 0.05, qois

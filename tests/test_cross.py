@@ -126,3 +126,62 @@ def test_cross_kickrank_zero(rng):
     approx = np.asarray(tt_eval_indices(res.tt, jnp.asarray(probe)))
     rel = np.linalg.norm(approx - fun(probe)) / np.linalg.norm(fun(probe))
     assert rel < 1e-6
+
+
+def test_block_cross_matches_dense_oracle():
+    """Vector-valued (block) cross: b columns land in a boundary rank
+    (amen_cross_s.m:426-428,575-579) — forward exit puts the block on
+    the right boundary, backward exit on the left."""
+    from tt_irt_tpu.constructors.amen_cross import amen_cross_s
+
+    d, n = 5, 9
+    grids = [np.linspace(-1, 1, n) for _ in range(d)]
+
+    def fun(ind):
+        ind = np.asarray(ind)
+        x = np.stack([grids[k][ind[:, k]] for k in range(d)], axis=1)
+        s = x.sum(axis=1)
+        return np.stack([np.exp(-0.5 * s * s), np.sin(s),
+                         1.0 / (6.0 + s)], axis=1)
+
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, n, size=(500, d))
+    exact = fun(idx)
+
+    def eval_tt(cores, rows):
+        out = []
+        for row in rows:
+            v = None
+            for k, c in enumerate(cores):
+                g = np.asarray(c[:, row[k], :])
+                v = g if v is None else v @ g
+            out.append(v.reshape(-1))
+        return np.array(out)
+
+    for exitdir, blockside in [(1, "right"), (-1, "left")]:
+        res = amen_cross_s([n] * d, fun, 1e-10, tol_exit=1e-8, y0=4,
+                           kickrank=2, nswp=8, seed=1, exitdir=exitdir)
+        cores = res.tt.cores
+        if blockside == "right":
+            assert cores[-1].shape[2] == 3
+        else:
+            assert cores[0].shape[0] == 3
+        err = np.max(np.abs(eval_tt(cores, idx) - exact))
+        assert err < 1e-7, (exitdir, err)
+
+
+def test_block_cross_single_column_unchanged():
+    """b == 1 must keep the scalar behavior (unit boundary ranks)."""
+    from tt_irt_tpu.constructors.amen_cross import amen_cross_s
+
+    d, n = 4, 8
+    grids = [np.linspace(0, 1, n) for _ in range(d)]
+
+    def fun(ind):
+        ind = np.asarray(ind)
+        x = np.stack([grids[k][ind[:, k]] for k in range(d)], axis=1)
+        return np.exp(-np.sum(x, axis=1, keepdims=True))
+
+    res = amen_cross_s([n] * d, fun, 1e-10, nswp=6, seed=2)
+    assert res.tt.cores[0].shape[0] == 1
+    assert res.tt.cores[-1].shape[2] == 1

@@ -169,3 +169,51 @@ def test_dirt_irtdenom():
     z, lfapp, lfex = tt_dirt_sample(
         dirt, q, lambda x: logratio(x, 0.0, 1.0))
     assert float(essinv(lfex, lfapp)) < 2.0
+
+
+def test_dirt_fused_matches_loop(trained_dirt):
+    """The fused whole-stack program (dirt_scan.py) must reproduce the
+    host-side level loop exactly (same kernels, same order)."""
+    from tt_irt_tpu.samplers.dirt_scan import can_fuse
+
+    assert can_fuse(trained_dirt, D)
+    q = jax.random.uniform(jax.random.PRNGKey(11), (512, D),
+                           dtype=jnp.float64)
+    z1, lf1 = tt_dirt_sample(trained_dirt, q, use_fused=False)
+    z2, lf2 = tt_dirt_sample(trained_dirt, q, use_fused=True)
+    assert float(jnp.max(jnp.abs(z1 - z2))) < 1e-12
+    assert float(jnp.max(jnp.abs(lf1 - lf2))) < 1e-10
+
+
+def test_dirt_fused_normal_reference_and_precisions():
+    """Fused path with truncated-normal maps between levels, at every
+    reduced precision (sample parity vs the f64 loop)."""
+    dirt = tt_dirt_approx(
+        GRIDS, logratio, BETA, stoptol=0.1, nswp=2, kickrank=2,
+        reference="n3", testsamples=256, verb=0, seed=5)
+    from tt_irt_tpu import randref
+
+    q = randref("n3", jax.random.PRNGKey(13), (512, D))
+    z1, lf1 = tt_dirt_sample(dirt, q, use_fused=False)
+    z2, lf2 = tt_dirt_sample(dirt, q, use_fused=True)
+    assert float(jnp.max(jnp.abs(z1 - z2))) < 1e-12
+    for prec, tol in [("mixed", 5e-5), ("hi", 5e-5), ("f32", 5e-4)]:
+        z3, _ = tt_dirt_sample(dirt, q, precision=prec, use_fused=True)
+        assert float(jnp.max(jnp.abs(z1 - z3))) < tol, prec
+
+
+def test_dirt_level_marginal_diagnostics(trained_dirt):
+    """Structured per-level marginal diagnostics (the reference's
+    plotdiag curves, tt_dirt_approx.m:202-252, without plotting)."""
+    from tt_irt_tpu import tt_marginals
+    from tt_irt_tpu.ops.tt import tt_full
+
+    for f in [trained_dirt.f0] + list(trained_dirt.fs):
+        m1, m2 = tt_marginals(f, pair=(0, 1))
+        full = np.asarray(tt_full(f))
+        for k in range(f.d):
+            ax = tuple(a for a in range(f.d) if a != k)
+            np.testing.assert_allclose(m1[k], full.sum(axis=ax),
+                                       rtol=1e-10)
+        np.testing.assert_allclose(
+            m2, full.sum(axis=tuple(range(2, f.d))), rtol=1e-10)

@@ -133,3 +133,34 @@ def test_checkpoint_per_level(rng, tmp_path):
     assert os.path.exists(path + ".npz")
     restored = load_dirt(path)
     assert restored.nlevels == dirt.nlevels
+
+
+@needs_multi
+def test_sharded_construction_matches_single_device():
+    """DIRT built with construction-time evaluation sharded over the
+    8-device mesh must equal the single-device build exactly (VERDICT
+    'data-parallel cross evaluation'; reference hot path
+    amen_cross_s.m:704-760)."""
+    from tt_irt_tpu import tt_dirt_approx, tt_dirt_sample
+
+    d = 4
+    grids = [np.linspace(-4, 4, 13) for _ in range(d)]
+    beta = [0.1, 1.0]
+
+    def logratio(x, b0, b1):
+        quad = jnp.sum(x * x, axis=1) + \
+            0.8 * jnp.sum(x[:, :-1] * x[:, 1:], axis=1)
+        return -0.5 * (b1 - b0) * quad
+
+    kw = dict(stoptol=0.1, nswp=2, kickrank=2, testsamples=128,
+              verb=0, seed=9, reference="n3")
+    d1 = tt_dirt_approx(grids, logratio, beta, **kw)
+    d2 = tt_dirt_approx(grids, logratio, beta, mesh=sample_mesh(8), **kw)
+    q = jax.random.uniform(jax.random.PRNGKey(3), (256, d),
+                           dtype=jnp.float64)
+    from tt_irt_tpu import randref
+    qn = randref("n3", jax.random.PRNGKey(3), (256, d))
+    z1, lf1 = tt_dirt_sample(d1, qn)
+    z2, lf2 = tt_dirt_sample(d2, qn)
+    assert float(jnp.max(jnp.abs(z1 - z2))) < 1e-10
+    assert float(jnp.max(jnp.abs(lf1 - lf2))) < 1e-8

@@ -56,10 +56,14 @@ from .samplers.dirt import (  # noqa: E402
     tt_dirt_inverse,
     tt_dirt_sample,
 )
-from .samplers.debias import iw_prune, mcmc_prune, tt_irt_debias  # noqa: E402
+from .samplers.debias import (  # noqa: E402
+    iw_prune, mcmc_prune, rejection_histogram, tt_irt_debias,
+)
 from .samplers.reference import randref, reference_sigma  # noqa: E402
 from .samplers.qmc import qmcnodes  # noqa: E402
-from .samplers.diagnostics import essinv, hellinger, iact  # noqa: E402
+from .samplers.diagnostics import (  # noqa: E402
+    essinv, hellinger, iact, tt_marginals,
+)
 from .constructors.amen_cross import amen_cross_s  # noqa: E402
 from .constructors.dirt_build import tt_dirt_approx  # noqa: E402
 from .constructors.als_cross import als_cross_parametric  # noqa: E402
@@ -100,6 +104,8 @@ __all__ = [
     "essinv",
     "hellinger",
     "iact",
+    "tt_marginals",
+    "rejection_histogram",
     "amen_cross_s",
     "tt_dirt_approx",
     "als_cross_parametric",

@@ -82,11 +82,12 @@ def als_cross_parametric(coeff: TT, assem_solve_fun: Callable, tol: float,
     """
     import time as _time
 
-    if random_init and kickrank:
+    if random_init and funarg == "indices":
         raise NotImplementedError(
-            "random_init with kickrank>0 is not supported (the reference "
-            "combination in use, test_diffusion_tt.m:113, is random_init "
-            "with kickrank=0)")
+            "random_init with funarg='indices' is inconsistent: the "
+            "spatial solve takes the maxvol index set whose size is the "
+            "coefficient rank, not random_init (the reference has the "
+            "same size clash, als_cross_parametric.m:132-151,196)")
     rng = np.random.default_rng(seed)
     cores = [np.asarray(c) for c in coeff.cores]
     c0 = cores[0]                       # (Mc, Nxc, rc1)
@@ -161,7 +162,18 @@ def als_cross_parametric(coeff: TT, assem_solve_fun: Callable, tol: float,
                 np.reshape(pcores[i], (rc[i] * ny[i], r2), order="F")
                 @ zc[i + 1], (rc[i], ny[i] * rz[i + 1]), order="F")
             zc[i] = t[:, zind]
-            zu[i] = zc[i].copy()
+            if random_init and i > 0:
+                # random-start solution bond (size random_init) has no
+                # coefficient-maxvol identification, so the residual's
+                # right solution-interface proxy is a random orthonormal
+                # projection; the sweeps replace it with the true
+                # interfaces (the reference crashes on this combination
+                # - a shape clash at als_cross_parametric.m:384 - so
+                # this init is an extension, not a translation)
+                zu[i] = np.linalg.qr(rng.standard_normal(
+                    (max(ru[i], rz[i]), rz[i])))[0][:ru[i], :]
+            else:
+                zu[i] = zc[i].copy()
             zz_r[i] = zind
     c0 = np.einsum("mxc,bc->mxb", c0, v.T)  # fold v: (Mc, Nxc, rc1)
 

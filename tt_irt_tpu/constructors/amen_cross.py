@@ -132,8 +132,17 @@ def _eval_x_at(yx_l, yx_r, xcores_i):
 # ---------------------------------------------------------------------------
 
 def _rev_cores(cores):
-    return [None if c is None else np.transpose(c, (2, 1, 0))
-            for c in reversed(cores)]
+    """Reverse the virtual tensor: cores in reverse order with bond axes
+    swapped.  A trailing block axis (4-dim cores) stays in place."""
+    out = []
+    for c in reversed(cores):
+        if c is None:
+            out.append(None)
+        elif c.ndim == 4:
+            out.append(np.transpose(c, (2, 1, 0, 3)))
+        else:
+            out.append(np.transpose(c, (2, 1, 0)))
+    return out
 
 
 def _rev_sets(left_sets, right_sets):
@@ -263,7 +272,9 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
         return out.reshape(mpad, -1)[:m]
 
     def evaluate(jl, jr, yx_l, yx_r, i):
-        """fun at the merged (left, mode, right) grid -> (m,) values."""
+        """fun at the merged (left, mode, right) grid -> (m, b) values
+        (b > 1 = block/vector-valued cross, amen_cross_s.m:426-428: the
+        block index ends up in a boundary rank of the result)."""
         m = (1 if jl is None or not jl.size else jl.shape[0]) * n[i] * \
             (1 if jr is None or not jr.size else jr.shape[0])
         vals = None
@@ -277,11 +288,7 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
             fv = _padded_call(ffun, fx, m)
             evalcnt[1] += m
             vals = fv if vals is None else vals + fv
-        if vals.shape[1] != 1:
-            raise NotImplementedError(
-                "block (vector-valued) cross not supported yet; the "
-                "function must return one value per point")
-        return vals[:, 0]
+        return vals
 
     # ---- initial index sets (right-nested, ready for a forward sweep) ----
     orient = 1 if dir >= 0 else -1
@@ -340,7 +347,8 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
             yc[i] = np.transpose(
                 np.reshape(q[:, :rnew], (nn, r2, rnew), order="F"),
                 (2, 0, 1))
-        ycores = yc
+        # normalize to the sweep's internal 4-dim (trailing block) layout
+        ycores = [c[..., None] for c in yc]
     else:
         if np.isscalar(y0):
             nq = int(y0)
@@ -404,8 +412,12 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
             zx_l[0] = [np.ones((1, t[0].shape[0])) for t in xcur]
 
     # ---- sweep loop ----
-    statvals = np.full((len(soughts),), np.nan)
-    statind = np.zeros((len(soughts), d), np.int64)
+    # b = block size (vector-valued fun, amen_cross_s.m:426-428,575-579):
+    # discovered at the first evaluation; the block axis rides on the
+    # active core as a trailing dim, is mixed into the bond factor at
+    # every truncation, and lands in the final core's boundary rank.
+    b = 1
+    statvals = statind = None
     swp = 1
     last_swp = 0
     max_dx = 0.0
@@ -414,89 +426,113 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
         max_dx = 0.0
         for i in range(d):
             if i == 0 and swp > 1 and ycores[0] is not None and \
-                    ycores[0].shape == (ry[0], n[0], ry[1]):
+                    ycores[0].shape[:3] == (ry[0], n[0], ry[1]):
                 # The terminal core of the previous sweep is exact — reuse
                 # it instead of re-evaluating (amen_cross_s.m:406-411).
-                cry = np.reshape(ycores[0], (-1,), order="F")
+                cry = np.reshape(ycores[0], (-1, b), order="F")
             else:
                 cry = evaluate(jy_l[i], jy_r[i + 1], yx_l, yx_r, i)
             m = ry[i] * n[i] * ry[i + 1]
-            if cry.shape[0] != m:
+            if swp == 1 and i == 0:
+                b = cry.shape[1]
+            if cry.shape[0] != m or cry.shape[1] != b:
                 raise ValueError(
-                    f"function returned {cry.shape[0]} values, expected {m}")
+                    f"function returned {cry.shape} values, expected "
+                    f"({m}, {b})")
+            if statvals is None:
+                statvals = np.full((len(soughts), b), np.nan)
+                statind = np.zeros((len(soughts), d, b), np.int64)
 
-            # statistics tracking on exact sampled values
+            # statistics tracking on exact sampled values (per block col)
             if soughts:
                 j_virtual = _merge_full(jy_l[i], n[i], jy_r[i + 1])
                 j_actual = j_virtual[:, ::-1] if orient < 0 else j_virtual
                 for si, s in enumerate(soughts):
                     key = {"lm": np.abs, "sm": np.abs, "lr": np.real,
                            "sr": np.real, "li": np.imag, "si": np.imag}[s]
-                    vals = key(cry)
-                    pick = int(np.argmax(vals) if s in ("lm", "lr", "li")
-                               else np.argmin(vals))
-                    better = (np.isnan(statvals[si])
-                              or (s in ("lm", "lr", "li")
-                                  and vals[pick] > key(statvals[si]))
-                              or (s in ("sm", "sr", "si")
-                                  and vals[pick] < key(statvals[si])))
-                    if better:
-                        statvals[si] = cry[pick]
-                        statind[si] = j_actual[pick]
+                    vals = key(cry)                       # (m, b)
+                    picks = (np.argmax(vals, axis=0)
+                             if s in ("lm", "lr", "li")
+                             else np.argmin(vals, axis=0))
+                    for col in range(b):
+                        pick = int(picks[col])
+                        cur = statvals[si, col]
+                        better = (np.isnan(cur)
+                                  or (s in ("lm", "lr", "li")
+                                      and vals[pick, col] > key(cur))
+                                  or (s in ("sm", "sr", "si")
+                                      and vals[pick, col] < key(cur)))
+                        if better:
+                            statvals[si, col] = cry[pick, col]
+                            statind[si, :, col] = j_actual[pick]
 
             old = ycores[i]
-            if old is not None and old.size == m:
+            if old is not None and old.size == m * b:
                 denom = np.max(np.abs(cry))
-                dx = np.max(np.abs(cry - np.reshape(old, (-1,), order="F"))) \
+                dx = np.max(np.abs(cry.ravel(order="F")
+                                   - old.ravel(order="F"))) \
                     / (denom if denom > 0 else 1.0)
             else:
                 dx = 1.0
             max_dx = max(max_dx, dx)
-            core = np.reshape(cry, (ry[i], n[i], ry[i + 1]), order="F")
+            core = np.reshape(cry, (ry[i], n[i], ry[i + 1], b), order="F")
             ycores[i] = core
 
             if i == d - 1:
                 break
 
             # --- truncation of the current block ---
-            mat = _unfold_left(core)                      # (r1*n, r2)
+            # unfold (r1*n, r2*b): the block axis joins the bond being
+            # truncated, exactly as truncate_block (amen_cross_s.m:588-611)
+            mat = np.reshape(core, (ry[i] * n[i], ry[i + 1] * b),
+                             order="F")
             if tol_local > 0:
                 u, v = localcross(mat, tol_local, rmax=rmax)
             else:
                 u, v = np.linalg.qr(mat)
             if rmax is not None and u.shape[1] > rmax:
                 u, v = u[:, :rmax], v[:rmax]
-            y_trunc = u @ v                               # (r1*n, r2)
+            y_trunc = np.reshape(u @ v, (ry[i], n[i], ry[i + 1], b),
+                                 order="F")
 
             # --- AMEn enrichment ---
             crs = None
             if use_kick:
                 # candidate: truncated solution projected on right residual
                 rzr = jz_r[i + 1].shape[0]
-                t3 = _fold_left(y_trunc, ry[i], n[i])     # (r1, n, r2)
-                crs_full = np.einsum("anb,bz->anz", t3, zy_r[i + 1])
+                crs_full = np.einsum("ancb,cz->anzb", y_trunc, zy_r[i + 1])
                 crzex = evaluate(jy_l[i], jz_r[i + 1], yx_l, zx_r, i)
-                crzex = np.reshape(crzex, (ry[i], n[i], rzr), order="F")
+                crzex = np.reshape(crzex, (ry[i], n[i], rzr, b), order="F")
                 crs = np.reshape(crzex - crs_full,
-                                 (ry[i] * n[i], rzr), order="F")
+                                 (ry[i] * n[i], rzr * b), order="F")
                 crs = _truncres(crs, _kick_rank(ry[i + 1]), tol_local,
                                 rng, expand=False)
 
             # --- enrich, QR, maxvol, interface update ---
             cat = u if crs is None else np.concatenate([u, crs], axis=1)
             q, rq = np.linalg.qr(cat)
-            rv = rq[:, :u.shape[1]] @ v                   # (rq2, r2)
+            rv = rq[:, :u.shape[1]] @ v                   # (rnew, r2*b)
             ind = maxvol(q)
             yy = q[ind]
             qn = np.linalg.solve(yy.T, q.T).T             # q @ inv(yy)
             rnew = q.shape[1]
-            ycores[i] = _fold_left(qn, ry[i], n[i])
-            rv = yy @ rv                                  # (rnew, r2)
+            ycores[i] = _fold_left(qn, ry[i], n[i])[..., None]
+            rv = yy @ rv                                  # (rnew, r2*b)
+            r2_old = ry[i + 1]
             ry[i + 1] = rnew
-            # push non-orth factor into the next (stale) core if it exists
+            # push non-orth factor into the next (stale) core if it
+            # exists, transporting the block axis with it
+            # (amen_cross_s.m:598-611: rv (rnew, r2*b) -> (b*rnew, r2))
             if ycores[i + 1] is not None:
-                nxt = ycores[i + 1]
-                ycores[i + 1] = np.einsum("ab,bnc->anc", rv, nxt)
+                rvb = np.reshape(rv, (rnew * r2_old, b), order="F")
+                rvb = np.reshape(rvb.T, (b * rnew, r2_old), order="F")
+                nxt = ycores[i + 1]                       # (r2, n2, r3, bn)
+                n2, r3 = nxt.shape[1], nxt.shape[2]
+                nxt2 = np.reshape(nxt[..., 0], (r2_old, n2 * r3), order="F")
+                t = rvb @ nxt2                            # (b*rnew, n2*r3)
+                t = np.reshape(t, (b, rnew * n2 * r3), order="F")
+                ycores[i + 1] = np.reshape(t.T, (rnew, n2, r3, b),
+                                           order="F")
             jy_l[i + 1] = _merge_full(jy_l[i], n[i],
                                       np.zeros((1, 0), np.int64))[ind]
             if xcur is not None:
@@ -507,11 +543,11 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
                 rzl = jz_l[i].shape[0]
                 rzr = jz_r[i + 1].shape[0]
                 crzz = evaluate(jz_l[i], jz_r[i + 1], zx_l, zx_r, i)
-                crzz = np.reshape(crzz, (rzl, n[i], rzr), order="F")
-                t3 = _fold_left(y_trunc, ry[i], n[i])
-                proj = np.einsum("za,anb,bw->znw", zy_l[i], t3, zy_r[i + 1])
+                crzz = np.reshape(crzz, (rzl, n[i], rzr, b), order="F")
+                proj = np.einsum("za,ancb,cw->znwb", zy_l[i], y_trunc,
+                                 zy_r[i + 1])
                 crz = np.reshape(crzz - proj,
-                                 (rzl * n[i], rzr), order="F")
+                                 (rzl * n[i], rzr * b), order="F")
                 crz = _truncres(crz, _kick_rank(ry[i + 1]), tol_local,
                                 rng, expand=True)
                 indz = maxvol(crz)
@@ -521,7 +557,7 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
                 if xcur is not None:
                     zx_l[i + 1] = _interface_nested_left(
                         zx_l[i], xcur_i(i), indz)
-                tzy = np.einsum("za,anb->znb", zy_l[i], ycores[i])
+                tzy = np.einsum("za,anb->znb", zy_l[i], ycores[i][..., 0])
                 tzy = np.reshape(tzy, (rz[i] * n[i], rnew), order="F")
                 zy_l[i + 1] = tzy[indz]
 
@@ -551,7 +587,18 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
         orient = -orient
         swp += 1
 
-    # restore original orientation
+    # collapse the internal 4-dim layout: all swept cores carry a trailing
+    # block axis of 1; the terminal core carries the b block columns in
+    # its (virtual right) boundary rank (amen_cross_s.m:575-579)
+    final = [c[..., 0] for c in ycores[:-1]]
+    last = ycores[-1]                              # (r, n, 1, b)
+    final.append(np.reshape(last, (last.shape[0], last.shape[1], -1),
+                            order="F"))
+    ycores = final
+
+    # restore original orientation (a backward exit sweep leaves the
+    # block in the LEFT boundary rank of the first core, matching the
+    # reference's dir<0 output, amen_cross_s.m:576-578)
     if orient < 0:
         ycores = _rev_cores(ycores)
         jy_l, jy_r = _rev_sets(jy_l, jy_r)
@@ -561,8 +608,11 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
     import jax.numpy as jnp
 
     tt = TT([jnp.asarray(c) for c in ycores])
-    sv = statvals if soughts else None
-    si_ = statind if soughts else None
+    sv = None
+    si_ = None
+    if soughts and statvals is not None:
+        sv = statvals[:, 0] if b == 1 else statvals
+        si_ = statind[:, :, 0] if b == 1 else statind
     return CrossResult(tt, sv, si_, jy_l, (evalcnt[0], evalcnt[1]))
 
 

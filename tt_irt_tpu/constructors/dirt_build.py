@@ -62,6 +62,11 @@ class DirtOptions:
     # save the stack after every accepted level (resume with
     # load_dirt(...) + irtstruct=...); long ladders are hours of work
     checkpoint_path: Optional[str] = None
+    # jax.sharding.Mesh: shard construction-time evaluation (the cross's
+    # probe batches: DIRT pushes + density evals) over the device mesh
+    # (SURVEY §2.6 "data-parallel cross evaluation"; the reference's hot
+    # path amen_cross_s.m:704-760).  None = single device.
+    mesh: Optional[object] = None
     extra: dict = field(default_factory=dict)
 
 
@@ -140,14 +145,30 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
     # ------------------------------------------------------------------
     # Level 0
     # ------------------------------------------------------------------
+    def _batch_eval(fn):
+        """Device evaluation of one probe batch; sharded over the
+        sample axis when a mesh is configured.  Both paths jit: a
+        sharded and an unsharded build then produce BITWISE-identical
+        evaluations (eager-vs-jit fusion differences are ulp-level, but
+        the cross's pivot selection amplifies ulps into different —
+        equally valid — approximations, which would make multi-chip
+        builds irreproducible against single-chip ones)."""
+        if opt.mesh is not None:
+            from ..parallel.mesh import sharded_batch_fn
+
+            return sharded_batch_fn(opt.mesh, fn)
+        jfn = jax.jit(fn)
+        return lambda x: np.asarray(jfn(jnp.asarray(x)))
+
     if irtstruct is None:
         lvl0_grids = cross_grids(x0)
+        eval0 = _batch_eval(
+            lambda x: jnp.exp(0.5 * logpostfun(x, 0.0, float(beta[0]))))
 
         def fun0(ind):
             ind = np.asarray(ind)
             x = np.stack([lvl0_grids[k][ind[:, k]] for k in range(d)], axis=1)
-            lp = np.asarray(logpostfun(jnp.asarray(x), 0.0, float(beta[0])))
-            return np.exp(0.5 * lp)
+            return eval0(x)
 
         res = amen_cross_s(
             [g.shape[0] for g in lvl0_grids],
@@ -260,12 +281,8 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
 
         use_denom = bool(irtdenom[ilvl])
 
-        def funl(ind, _dirt=cur_dirt, _blo=b_lo, _bhi=b_hi,
-                 _shift=lfshift, _denom=use_denom):
-            ind = np.asarray(ind)
-            x = jnp.stack(
-                [jnp.asarray(lvl_grids[k])[ind[:, k]] for k in range(d)],
-                axis=1)
+        def _push_ratio(x, _dirt=cur_dirt, _blo=b_lo, _bhi=b_hi,
+                        _shift=lfshift, _denom=use_denom):
             z, lfapp = tt_dirt_sample(_dirt, x, precision=opt.precision)
             blo = 0.0 if _denom else _blo
             lr = logpostfun(z, blo, _bhi) - _shift
@@ -275,7 +292,16 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
                 lr = lr - lfapp
             if sigma is not None:
                 lr = lr - 0.5 * jnp.sum(x * x, axis=1)
-            return np.asarray(jnp.exp(0.5 * lr))
+            return jnp.exp(0.5 * lr)
+
+        evall = _batch_eval(_push_ratio)
+
+        def funl(ind):
+            ind = np.asarray(ind)
+            x = np.stack(
+                [np.asarray(lvl_grids[k])[ind[:, k]] for k in range(d)],
+                axis=1)
+            return evall(x)
 
         y0_init = fprev if fprev is not None else \
             int(np.max(np.atleast_1d(y0v[min(ilvl, len(y0v) - 1)])))
@@ -301,7 +327,7 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
             z, lfapp, lfex = tt_dirt_sample(
                 cand, y, lambda x: logpostfun(x, 0.0, b_hi))
             key, sub = jax.random.split(key)
-            _, _, _, nrej, _ = mcmc_prune(z, lfex, lfapp, key=sub)
+            nrej = mcmc_prune(z, lfex, lfapp, key=sub).num_rejects
             tau = float(essinv(lfex, lfapp))
             hl = float(hellinger(lfex, lfapp))
             if opt.verb:

@@ -195,36 +195,63 @@ class DiffusionProblem:
         u = u.at[jnp.asarray(self.bound_left)].set(1.0)
         return u
 
-    def assem_solve_fun(self):
-        """ALS-Cross spatial callback (diffusion_assem_solve.m API):
-        Ci (Mc, Nxc, r) -> (U (Nxu, r), A list of (Na, Na), F (Na, r))
-        on the first call; U only on later calls."""
+    def assem_solve_fun(self, ygrids=None):
+        """ALS-Cross spatial callback (diffusion_assem_solve.m API).
+
+        Values mode: Ci (Mc, Nxc, r) coefficient snapshots.  Indices
+        mode (als_cross_parametric.m:191-230): an (r, ell) integer
+        matrix of 0-based parametric grid indices — the coefficient is
+        reconstructed as exp(sqrt(sigma) * Phi_l y) from ``ygrids``
+        (required for this mode).  Returns (U (Nxu, r), A list of
+        (Na, Na), F (Na, r)) on the first call; U only afterwards.
+
+        All r snapshots assemble and solve as ONE vmapped batch
+        (chunked so the (n^2)^2 dense operators fit in memory) instead
+        of a per-snapshot host loop."""
         first = {"done": False}
+        # ~0.5 GB of f64 transient per chunk at the dense-operator size
+        chunk = max(1, int(2 ** 26) // (self.n ** 4))
+
+        @jax.jit
+        def _kernel(cb):
+            def one(c):
+                amat = assemble_matrix(jnp.reshape(c, (self.n, self.n)),
+                                       self.wg, self.wm)
+                ared, g = self._rhs_and_reduce(amat)
+                return ared, g, jnp.linalg.solve(ared, g)
+
+            return jax.vmap(one)(cb)
 
         def fn(ci):
             ci = np.asarray(ci)
-            if ci.ndim == 2:  # indices mode unsupported here
-                raise NotImplementedError
-            coeff = np.clip(ci[0], 1e-8, 1e9)       # (Nxc, r) clipping :17-24
-            r = coeff.shape[1]
-            us, amats, fs = [], [], []
-            for j in range(r):
-                cmat = jnp.reshape(jnp.asarray(coeff[:, j]),
-                                   (self.n, self.n))
-                amat = assemble_matrix(cmat, self.wg, self.wm)
-                ared, g = self._rhs_and_reduce(amat)
-                u_in = jnp.linalg.solve(ared, g)
-                u = np.zeros(self.n * self.n)
-                u[self.interior] = np.asarray(u_in)
-                u[self.bound_left] = 1.0
-                us.append(u)
-                if not first["done"]:
-                    amats.append(np.asarray(ared))
-                    fs.append(np.asarray(g))
-            u_out = np.stack(us, axis=1)
+            if ci.ndim == 2 and np.issubdtype(ci.dtype, np.integer):
+                if ygrids is None:
+                    raise ValueError(
+                        "indices-mode callback needs the parametric "
+                        "grids: assem_solve_fun(ygrids=...)")
+                yv = np.stack([np.asarray(ygrids[k])[ci[:, k]]
+                               for k in range(ci.shape[1])], axis=1)
+                coeff = np.exp(np.sqrt(self.sigma) * (yv @ self.phil.T))
+            else:
+                coeff = ci[0].T                          # (r, Nxc)
+            coeff = np.clip(coeff, 1e-8, 1e9)  # clipping :17-24
+            r = coeff.shape[0]
+            areds, gs, uins = [], [], []
+            for s in range(0, r, chunk):
+                a_, g_, u_ = _kernel(jnp.asarray(coeff[s:s + chunk]))
+                areds.append(np.asarray(a_))
+                gs.append(np.asarray(g_))
+                uins.append(np.asarray(u_))
+            ared = np.concatenate(areds, axis=0)
+            g = np.concatenate(gs, axis=0)
+            u_in = np.concatenate(uins, axis=0)          # (r, ni)
+            u = np.zeros((r, self.n * self.n))
+            u[:, self.interior] = u_in
+            u[:, self.bound_left] = 1.0
+            u_out = u.T
             if not first["done"]:
                 first["done"] = True
-                return u_out, amats, np.stack(fs, axis=1)
+                return u_out, list(ared), g.T
             return u_out
 
         return fn

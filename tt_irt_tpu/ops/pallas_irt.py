@@ -19,6 +19,22 @@ Per-dimension step (mirrors irt_scan._step, all dense):
 
 f32 compute; numerics match tt_irt_sqr(precision='f32') (see irt_scan
 for the precision discussion).
+
+RETIRED from the production path (2026-08-16, round 2).  Measured on
+the v5e at the north-star shape (2^20 samples, d=40, n=17, r=13):
+0.38-0.40M samples/s across block sizes 128-1024, vs 1.31M samples/s
+for the XLA scan path at the same (now 1e-6-accurate) f32 numerics.
+Why fusing cannot win here: the arithmetic itself is the bottleneck,
+not HBM streaming — the whole transform is ~60 GFLOP at 2^20 and the
+XLA path realizes only ~0.13 TFLOP/s, i.e. BOTH paths are bound by the
+VPU-heavy CDF build/inversion and the small-matmul MXU underutilization
+(169x17 contractions), which VMEM residency does not change; and on
+TPU, Pallas grid steps execute sequentially per core, so the kernel's
+40 per-dim small matmuls on one tile cannot be overlapped the way XLA
+pipelines each dim over the full 2^18-row batch.  The kernel is kept
+as a working Pallas reference implementation and test target
+(tests/test_pallas.py); use tt_irt_sqr(precision='f32'|'hi') for
+production serving.
 """
 
 from __future__ import annotations

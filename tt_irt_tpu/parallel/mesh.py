@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["sample_mesh", "shard_samples", "sharded_call", "replicate"]
+__all__ = ["sample_mesh", "shard_samples", "sharded_call", "replicate",
+           "sharded_batch_fn"]
 
 SAMPLE_AXIS = "samples"
 
@@ -59,3 +60,33 @@ def sharded_call(mesh: Mesh, fn: Callable, *args, sample_args=(0,)):
         else:
             placed.append(replicate(mesh, a))
     return jax.jit(fn)(*placed)
+
+
+def sharded_batch_fn(mesh: Mesh, fn: Callable) -> Callable:
+    """Wrap a jittable batch function ``fn((M, ...)) -> (M,) or (M, k)``
+    so every call runs with its leading (sample) axis sharded over the
+    mesh — the data-parallel *construction-time* evaluation of SURVEY
+    §2.6: the M x d probe batches that the TT-cross feeds to the user
+    density (amen_cross_s.m:704-760) and the DIRT ratio pushes
+    (tt_dirt_approx.m:463-479) fan out across chips.
+
+    The wrapper pads M up to a multiple of the mesh size (by repeating
+    the first row — results for the pad lanes are discarded), so any
+    batch size works.  Closure state (TT cores, the DIRT stack, data)
+    is tiny and replicated by XLA.  Returns host numpy.
+    """
+    ndev = int(np.prod(mesh.devices.shape))
+    jfn = jax.jit(fn)
+
+    def wrapped(x):
+        x = jnp.asarray(x)
+        m = x.shape[0]
+        mpad = -(-m // ndev) * ndev
+        if mpad != m:
+            pad = jnp.broadcast_to(x[:1], (mpad - m,) + x.shape[1:])
+            x = jnp.concatenate([x, pad], axis=0)
+        xs = shard_samples(mesh, x)
+        out = jfn(xs)
+        return jax.tree_util.tree_map(lambda a: np.asarray(a)[:m], out)
+
+    return wrapped

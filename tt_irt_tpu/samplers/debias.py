@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from ..ops.tt import TT
 from .irt import tt_irt_lin
 
-__all__ = ["mcmc_prune", "iw_prune", "tt_irt_debias"]
+__all__ = ["mcmc_prune", "iw_prune", "tt_irt_debias",
+           "rejection_histogram"]
 
 
 class MCMCResult(NamedTuple):
@@ -27,6 +28,25 @@ class MCMCResult(NamedTuple):
     lfapp: jnp.ndarray    # proposal log density at pruned samples (M,)
     num_rejects: jnp.ndarray   # scalar int
     accepted: jnp.ndarray      # bool mask: proposal i accepted
+    rej_hist: "object" = None  # rejection-lag histogram, see mcmc_prune
+
+
+def rejection_histogram(accepted):
+    """Consecutive-rejection histogram (mcmc_prune.m:34-42): hist[k-1] =
+    number of length-k rejection runs terminated by an acceptance (a
+    trailing unterminated run is not counted, as in the reference)."""
+    import numpy as np
+
+    a = np.asarray(accepted)[1:]          # steps 1..M-1
+    idx = np.nonzero(a)[0]
+    if idx.size == 0:
+        return np.zeros(0, np.int64)
+    prev = np.concatenate([[-1], idx[:-1]])
+    runs = idx - prev - 1
+    runs = runs[runs > 0]
+    if runs.size == 0:
+        return np.zeros(0, np.int64)
+    return np.bincount(runs)[1:]
 
 
 @jax.jit
@@ -72,7 +92,8 @@ def mcmc_prune(y, lfex, lfapp, key=None, u=None) -> MCMCResult:
             key = jax.random.PRNGKey(0)
         u = jax.random.uniform(key, (m - 1,), dtype=jnp.float64)
     ys, les, las, accs = _mcmc_scan(y, lfex, lfapp, u)
-    return MCMCResult(ys, les, las, m - 1 - jnp.sum(accs[1:]), accs)
+    return MCMCResult(ys, les, las, m - 1 - jnp.sum(accs[1:]), accs,
+                      rejection_histogram(accs))
 
 
 class IWResult(NamedTuple):
