@@ -185,3 +185,56 @@ def test_block_cross_single_column_unchanged():
     res = amen_cross_s([n] * d, fun, 1e-10, nswp=6, seed=2)
     assert res.tt.cores[0].shape[0] == 1
     assert res.tt.cores[-1].shape[2] == 1
+
+
+def test_greedy_cross_matches_dense_oracle():
+    """Greedy two-site rook-pivoted cross (the TT-Toolbox greedy2_cross
+    analog, tt_dirt_approx.m:181-188) converges on a low-rank target."""
+    from tt_irt_tpu.constructors.greedy_cross import greedy_cross
+    from tt_irt_tpu.ops.tt import tt_full
+
+    d, n = 4, 9
+    grids = [np.linspace(-1, 1, n) for _ in range(d)]
+
+    def fun(ind):
+        ind = np.asarray(ind)
+        x = np.stack([grids[k][ind[:, k]] for k in range(d)], axis=1)
+        s = x.sum(axis=1)
+        return np.exp(-0.5 * s * s) + 0.3 * np.cos(2 * s)
+
+    res = greedy_cross([n] * d, fun, 1e-8, nswp=30, tol_exit=1e-7,
+                       seed=1)
+    idx = np.stack(np.meshgrid(*[np.arange(n)] * d, indexing="ij"),
+                   axis=-1).reshape(-1, d)
+    exact = fun(idx).reshape([n] * d)
+    full = np.asarray(tt_full(res.tt))
+    err = np.max(np.abs(full - exact)) / np.max(np.abs(exact))
+    assert err < 1e-6, err
+    assert res.evalcnt[0] > 0
+
+
+def test_dirt_greedy_crossmethod():
+    """DIRT with crossmethod='greedy' (the reference's alternative
+    backend) builds a usable transport."""
+    from tt_irt_tpu import (
+        essinv, randref, tt_dirt_approx, tt_dirt_sample,
+    )
+    import jax
+
+    d = 4
+    grids = [np.linspace(-5, 5, 13) for _ in range(d)]
+
+    def logratio(x, b0, b1):
+        quad = jnp.sum(x * x, axis=1) + \
+            0.6 * jnp.sum(x[:, :-1] * x[:, 1:], axis=1)
+        return -0.5 * (b1 - b0) * quad
+
+    dirt = tt_dirt_approx(grids, logratio, [0.1, 1.0],
+                          crossmethod="greedy", nswp=12, stoptol=0.05,
+                          testsamples=256, verb=0, seed=4)
+    q = jax.random.uniform(jax.random.PRNGKey(3), (2048, d),
+                           dtype=jnp.float64)
+    z, lfapp, lfex = tt_dirt_sample(dirt, q,
+                                    lambda x: logratio(x, 0.0, 1.0))
+    tau = float(essinv(lfex, lfapp))
+    assert tau < 2.0, tau

@@ -50,6 +50,11 @@ class DirtOptions:
     irtdenom: bool | Sequence[bool] = False
     reference: str = "uniform"
     interpolation: str = "spline"
+    # 'amen' (default) or 'greedy': the level-TT cross backend
+    # (tt_dirt_approx.m:177-188 'crossmethod' amen_cross_s /
+    # greedy2_cross; greedy uses the grid-midpoint rank-1 start and
+    # grows rank one pivot per bond per sweep)
+    crossmethod: str = "amen"
     verb: int = 0
     seed: int = 0
     rmax: Optional[int] = None
@@ -170,12 +175,21 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
             x = np.stack([lvl0_grids[k][ind[:, k]] for k in range(d)], axis=1)
             return eval0(x)
 
-        res = amen_cross_s(
-            [g.shape[0] for g in lvl0_grids],
-            fun0, float(trunctol[0]), tol_exit=float(stoptol[0]),
-            y0=int(np.max(np.atleast_1d(y0v[0]))),
-            kickrank=kickrank[0], nswp=int(nswp[0]), verb=opt.verb,
-            seed=opt.seed, rmax=opt.rmax)
+        if str(opt.crossmethod).lower().startswith("greedy"):
+            from .greedy_cross import greedy_cross
+
+            res = greedy_cross(
+                [g.shape[0] for g in lvl0_grids], fun0,
+                max(float(trunctol[0]), 1e-12),
+                tol_exit=float(stoptol[0]), nswp=int(nswp[0]),
+                verb=opt.verb, seed=opt.seed, rmax=opt.rmax)
+        else:
+            res = amen_cross_s(
+                [g.shape[0] for g in lvl0_grids],
+                fun0, float(trunctol[0]), tol_exit=float(stoptol[0]),
+                y0=int(np.max(np.atleast_1d(y0v[0]))),
+                kickrank=kickrank[0], nswp=int(nswp[0]), verb=opt.verb,
+                seed=opt.seed, rmax=opt.rmax)
         f0 = res.tt
         evalcnt[0] += sum(res.evalcnt)
 
@@ -303,14 +317,27 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
                 axis=1)
             return evall(x)
 
-        y0_init = fprev if fprev is not None else \
-            int(np.max(np.atleast_1d(y0v[min(ilvl, len(y0v) - 1)])))
-        res = amen_cross_s(
-            [g.shape[0] for g in lvl_grids], funl, float(trunctol[ilvl]),
-            tol_exit=float(stoptol[ilvl]), y0=y0_init,
-            kickrank=kickrank[ilvl], nswp=int(nswp[ilvl]), verb=opt.verb,
-            seed=opt.seed + ilvl + 1000 * recompute_count,
-            rmax=opt.rmax)
+        if str(opt.crossmethod).lower().startswith("greedy"):
+            from .greedy_cross import greedy_cross
+
+            res = greedy_cross(
+                [g.shape[0] for g in lvl_grids], funl,
+                max(float(trunctol[ilvl]), 1e-12),
+                tol_exit=float(stoptol[ilvl]), nswp=int(nswp[ilvl]),
+                verb=opt.verb,
+                seed=opt.seed + ilvl + 1000 * recompute_count,
+                rmax=opt.rmax)
+        else:
+            y0_init = fprev if fprev is not None else \
+                int(np.max(np.atleast_1d(y0v[min(ilvl, len(y0v) - 1)])))
+            res = amen_cross_s(
+                [g.shape[0] for g in lvl_grids], funl,
+                float(trunctol[ilvl]),
+                tol_exit=float(stoptol[ilvl]), y0=y0_init,
+                kickrank=kickrank[ilvl], nswp=int(nswp[ilvl]),
+                verb=opt.verb,
+                seed=opt.seed + ilvl + 1000 * recompute_count,
+                rmax=opt.rmax)
         evalcnt[ilvl] += sum(res.evalcnt)
         f_new = res.tt
 
