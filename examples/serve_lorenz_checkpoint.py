@@ -3,10 +3,13 @@
 The intended production split (BENCH_NOTES.md "Lorenz showcase"):
 build the transport once in f64 on CPU with per-level checkpointing
 (run_lorenz_dirt.py --fine-ladder --checkpoint PATH), then load the
-checkpoint here and push large mixed-precision sample batches through
-it on the TPU.  Mixed precision (f32 MXU contractions + f64 CDF
-inversion) is statistically exact for debiasing because the returned
-log-density is the exact Jacobian of the realized transport.
+checkpoint here and push large sample batches through it on the TPU.
+Default serving precision is 'f32', which (with the stable two-sided
+citardauq inversion and HIGHEST-precision matmuls) matches the CPU f64
+reference to ~1e-6 at full speed; 'hi' adds factor-form conditionals
+for ill-conditioned stacks.  Reduced precision is statistically exact
+for debiasing regardless: the returned log-density is the exact
+Jacobian of the realized transport.
 
 Reference workflow: test_lorenz.m builds and samples in one process;
 the split is the TPU-native redesign (construction is latency-bound
@@ -46,7 +49,7 @@ def main():
     ap.add_argument("--log2n", type=int, default=20)
     ap.add_argument("--n", type=int, default=17)
     ap.add_argument("--a", type=float, default=10.0)
-    ap.add_argument("--precision", default="mixed")
+    ap.add_argument("--precision", default="f32")
     args = ap.parse_args()
 
     dirt = load_dirt(args.checkpoint)

@@ -68,7 +68,12 @@ __all__ = ["stack_padded", "irt_scan", "can_use_scan"]
 
 # TPU matmuls on f32 operands default to single-pass bf16 (~2e-3
 # relative); every matmul in this module states its precision.
-_HI = jax.lax.Precision.HIGHEST
+# TTIRT_MXU_PRECISION=HIGH selects 3-pass bf16 for perf experiments
+# (measure accuracy before trusting it for the 1e-6 parity claim).
+import os as _os  # noqa: E402
+
+_HI = getattr(jax.lax.Precision,
+              _os.environ.get("TTIRT_MXU_PRECISION", "HIGHEST"))
 
 
 def can_use_scan(tt: TT, grids, dsample: int) -> bool:
