@@ -86,3 +86,76 @@ def test_fourier_dirt_end_to_end(rng):
         dirt, q, lambda x: logratio(x, 0.0, 1.0))
     tau = float(essinv(lfex, lfapp))
     assert tau < 2.0, tau
+
+
+def test_chebyshev_sirt_exactness_1d():
+    """Chebyshev-spectral SIRT (the native ftt.m/build_ftt analog):
+    1-d inversion matches the analytic normal inverse CDF to the
+    Newton tolerance, log-density to 1e-6."""
+    from scipy import stats
+
+    from tt_irt_tpu.samplers.chebyshev import lobatto_nodes, tt_irt_cheb
+
+    n = 33
+    x = lobatto_nodes(n, -4.0, 4.0)
+    vals = np.exp(-x ** 2 / 2.0)          # sqrt of exp(-x^2)
+    tt = TT([jnp.asarray(vals[None, :, None])])
+    q = jnp.asarray(np.linspace(0.001, 0.999, 501)[:, None])
+    xs, lf = tt_irt_cheb([x], tt, q)
+    sigma = 1.0 / np.sqrt(2.0)
+    exact = stats.norm.ppf(np.asarray(q)[:, 0], scale=sigma)
+    assert np.max(np.abs(np.asarray(xs)[:, 0] - exact)) < 1e-4
+    lpdf = stats.norm.logpdf(np.asarray(xs)[:, 0], scale=sigma)
+    assert np.max(np.abs(np.asarray(lf) - lpdf)) < 1e-6
+
+
+def test_chebyshev_sirt_multidim_quality():
+    """d=3 coupled density: transported samples are statistically exact
+    (N/ESS at the fp floor) against the true log-density."""
+    from tt_irt_tpu import essinv
+    from tt_irt_tpu.ops.tt import tt_from_dense
+    from tt_irt_tpu.samplers.chebyshev import lobatto_nodes, tt_irt_cheb
+
+    d = 3
+    grids = [lobatto_nodes(25, -5, 5) for _ in range(d)]
+
+    def sqrtdens(xs_):
+        s = xs_ @ np.array([1.0, 0.8, 0.6])
+        return np.exp(-0.25 * np.sum(xs_ ** 2, -1) - 0.05 * s ** 2)
+
+    mesh = np.meshgrid(*grids, indexing="ij")
+    pts = np.stack([v.ravel() for v in mesh], -1)
+    dense = sqrtdens(pts).reshape(25, 25, 25)
+    ttd = tt_from_dense(jnp.asarray(dense), eps=1e-12)
+    q3 = jax.random.uniform(jax.random.PRNGKey(0), (8192, d),
+                            dtype=jnp.float64)
+    z, lfa = tt_irt_cheb(grids, ttd, q3)
+    lfex = 2.0 * np.log(sqrtdens(np.asarray(z)))
+    tau = float(essinv(jnp.asarray(lfex), lfa))
+    assert tau < 1.0001, tau
+
+
+def test_dirt_chebyshev_interpolation():
+    """DIRT with interpolation='chebyshev': levels >= 1 on Lobatto
+    nodes, level 0 spline (tt_dirt_sample.m:69-71 semantics)."""
+    from tt_irt_tpu import (
+        essinv, randref, tt_dirt_approx, tt_dirt_sample,
+    )
+
+    d = 4
+    grids = [np.linspace(-5, 5, 17) for _ in range(d)]
+
+    def logratio(x, b0, b1):
+        quad = jnp.sum(x * x, axis=1) + \
+            0.6 * jnp.sum(x[:, :-1] * x[:, 1:], axis=1)
+        return -0.5 * (b1 - b0) * quad
+
+    dirt = tt_dirt_approx(grids, logratio, [0.1, 0.4, 1.0],
+                          interpolation="chebyshev", reference="n3",
+                          nswp=3, kickrank=2, stoptol=0.1,
+                          testsamples=256, verb=0, seed=6)
+    q = randref("n3", jax.random.PRNGKey(3), (2048, d))
+    z, lfapp, lfex = tt_dirt_sample(dirt, q,
+                                    lambda x: logratio(x, 0.0, 1.0))
+    tau = float(essinv(lfex, lfapp))
+    assert tau < 1.5, tau

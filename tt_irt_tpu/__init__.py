@@ -51,6 +51,7 @@ from .ops.tt import (  # noqa: E402
 from .ops.maxvol import localcross, maxvol, maxvol_rect  # noqa: E402
 from .samplers.irt import tt_irt_lin, tt_irt_sqr, tt_rt_sqr  # noqa: E402
 from .samplers.fourier import tt_irt_fourier  # noqa: E402
+from .samplers.chebyshev import tt_irt_cheb  # noqa: E402
 from .samplers.dirt import (  # noqa: E402
     DIRT,
     tt_dirt_inverse,
@@ -92,6 +93,7 @@ __all__ = [
     "tt_irt_sqr",
     "tt_rt_sqr",
     "tt_irt_fourier",
+    "tt_irt_cheb",
     "DIRT",
     "tt_dirt_sample",
     "tt_dirt_inverse",

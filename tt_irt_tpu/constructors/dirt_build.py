@@ -273,6 +273,11 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
     else:
         if interpolation.startswith("s"):
             xg = [np.linspace(0.0, 1.0, nk) * 2 * sigma - sigma for nk in nq]
+        elif interpolation.startswith("c"):
+            # Chebyshev-spectral levels: Lobatto nodes on [-sigma, sigma]
+            from ..samplers.chebyshev import lobatto_nodes
+
+            xg = [lobatto_nodes(nk, -sigma, sigma) for nk in nq]
         else:
             xg = [(np.arange(1, 2 * ((nk + 1) // 2) + 1)
                    * (2 * sigma / (2 * ((nk + 1) // 2))) - sigma)

@@ -86,8 +86,13 @@ class DIRT:
 
 
 def _level_irt(dirt: DIRT, f: TT, z, precision=None):
-    if dirt.interpolation.startswith("s"):
+    interp = str(dirt.interpolation).lower()
+    if interp.startswith("s"):
         return tt_irt_sqr(dirt.x, f, z, precision=precision)
+    if interp.startswith("c"):
+        from .chebyshev import tt_irt_cheb
+
+        return tt_irt_cheb(dirt.x, f, z)
     from .fourier import tt_irt_fourier
 
     return tt_irt_fourier(dirt.x, f, z)
