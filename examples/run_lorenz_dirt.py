@@ -50,6 +50,12 @@ def main():
                          "per-level vector (last value repeats)")
     ap.add_argument("--kickrank", default="0",
                     help="rank enrichment; scalar or per-level vector")
+    ap.add_argument("--irtdenom", default="0",
+                    help="per-level 0/1 vector: ratio against the "
+                         "realized IRT density instead of the previous "
+                         "tempered density (tt_dirt_approx.m:466-473) — "
+                         "corrects accumulated prefix error at deep "
+                         "levels")
     ap.add_argument("--fine-ladder", action="store_true",
                     help="quarter-decade beta steps above 1e-2")
     ap.add_argument("--beta-extra", default=None,
@@ -104,6 +110,7 @@ def main():
     dirt = ti.tt_dirt_approx(
         prob.grids(), prob.tempered_logratio_fn(), beta,
         nswp=per_level(args.nswp), kickrank=per_level(args.kickrank),
+        irtdenom=per_level(args.irtdenom, cast=lambda v: bool(int(v))),
         y0=args.r0, boundary=True, stoptol=0.1,
         checkpoint_path=args.checkpoint, reference="n3",
         testsamples=1000, seed=0, verb=1, irtstruct=irtstruct,
