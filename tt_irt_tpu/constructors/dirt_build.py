@@ -299,6 +299,21 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
         lvl_grids = cross_grids(xg)
 
         use_denom = bool(irtdenom[ilvl])
+        if use_denom:
+            # The carried lfshift baselines the *tempered-ratio* mode;
+            # the denominator-mode ratio logpost(z,0,b) - lFapp lives on
+            # a different scale (stale baselines underflow exp(lr/2) to
+            # an all-zero cross block).  Re-baseline from a probe batch
+            # through the current stack (the reference derives its denom
+            # shift from the previous level's test samples,
+            # tt_dirt_approx.m:443-450 — same intent).
+            key, sub = jax.random.split(key)
+            yp = randref(reference, sub, (256, d))
+            zp, lfp = tt_dirt_sample(cur_dirt, yp,
+                                     precision=opt.precision)
+            lrp = logpostfun(zp, 0.0, b_hi) - lfp
+            lfshift = float(jnp.max(lrp))
+            evalcnt[ilvl] += 256
 
         def _push_ratio(x, _dirt=cur_dirt, _blo=b_lo, _bhi=b_hi,
                         _shift=lfshift, _denom=use_denom):
