@@ -514,7 +514,14 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
             rv = rq[:, :u.shape[1]] @ v                   # (rnew, r2*b)
             ind = maxvol(q)
             yy = q[ind]
-            qn = np.linalg.solve(yy.T, q.T).T             # q @ inv(yy)
+            try:
+                qn = np.linalg.solve(yy.T, q.T).T         # q @ inv(yy)
+            except np.linalg.LinAlgError:
+                # degenerate block (e.g. the function underflowed to 0
+                # on this probe set): least-squares interpolation keeps
+                # the sweep alive (cf. the reference's zero-residual
+                # reinit, amen_cross_s.m:890-894)
+                qn = q @ np.linalg.pinv(yy)
             rnew = q.shape[1]
             ycores[i] = _fold_left(qn, ry[i], n[i])[..., None]
             rv = yy @ rv                                  # (rnew, r2*b)
