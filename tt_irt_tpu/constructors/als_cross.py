@@ -36,7 +36,14 @@ def solve_blockdiag(uau, crc, crf):
     """
     mats = jnp.einsum("abc,cj->jab", jnp.asarray(uau), jnp.asarray(crc))
     rhs = jnp.asarray(crf).T[:, :, None]
-    sol = jnp.linalg.solve(mats, rhs)[:, :, 0]
+    try:
+        sol = jnp.linalg.solve(mats, rhs)[:, :, 0]
+    except Exception:
+        # some remote TPU backends cannot compile the batched-LU custom
+        # call (axon remote_compile HTTP 500); the blocks are tiny
+        # (ru x ru), so the host solves them as fast as the round trip
+        sol = jnp.asarray(np.linalg.solve(np.asarray(mats),
+                                          np.asarray(rhs))[:, :, 0])
     return np.asarray(sol.T)
 
 

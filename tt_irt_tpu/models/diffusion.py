@@ -70,6 +70,15 @@ def assemble_matrix(cmat, wg, wm):
     return jnp.reshape(a, (n * n, n * n))
 
 
+def _spd_solve(a, b):
+    """Cholesky solve for the SPD reduced diffusion operator.  Besides
+    being the right factorization for an elliptic operator, this avoids
+    the batched-LU custom call that some remote TPU backends cannot
+    compile (axon remote_compile HTTP 500 on jnp.linalg.solve)."""
+    c = jnp.linalg.cholesky(a)
+    return jax.scipy.linalg.cho_solve((c, True), b)
+
+
 def lgwt(n: int, a: float, b: float):
     """Gauss-Legendre nodes/weights on [a, b] (replaces the downloaded
     lgwt.m, parse_diffusion_inputs.m:72-84).  Nodes descending to match
@@ -189,7 +198,7 @@ class DiffusionProblem:
         cmat = jnp.reshape(cnodal, (self.n, self.n))
         amat = assemble_matrix(cmat, self.wg, self.wm)
         ared, g = self._rhs_and_reduce(amat)
-        u_in = jnp.linalg.solve(ared, g)
+        u_in = _spd_solve(ared, g)
         u = jnp.zeros((self.n * self.n,))
         u = u.at[jnp.asarray(self.interior)].set(u_in)
         u = u.at[jnp.asarray(self.bound_left)].set(1.0)
@@ -218,7 +227,7 @@ class DiffusionProblem:
                 amat = assemble_matrix(jnp.reshape(c, (self.n, self.n)),
                                        self.wg, self.wm)
                 ared, g = self._rhs_and_reduce(amat)
-                return ared, g, jnp.linalg.solve(ared, g)
+                return ared, g, _spd_solve(ared, g)
 
             return jax.vmap(one)(cb)
 
