@@ -15,6 +15,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from tt_irt_tpu.utils import set_platform  # noqa: E402
+set_platform()  # honor JAX_PLATFORMS=cpu even with eager TPU plugins
+
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -69,12 +72,31 @@ def main():
 
     rate = m / best
     target = (1 << 20) / 1.0  # north star: 2^20 samples in 1 s
+
+    # Accuracy clause of the north star (BASELINE.md): samples must match
+    # the f64 reference to 1e-6 scale.  Compare against the independent
+    # pure-numpy f64 oracle at 2^18 seeds; a parity failure zeroes
+    # vs_baseline so a numerics regression cannot ship behind a
+    # good-looking throughput line.
+    parity_tol = float(os.environ.get("BENCH_PARITY_TOL", 2e-6))
+    mp = min(m, 1 << 18)
+    xq, _ = ti.tt_irt_sqr(grids, tt, q[:mp], precision=precision)
+    xq = np.asarray(xq)
+    from tt_irt_tpu.utils.reference_numpy import irt_sqr_numpy
+    xo, _ = irt_sqr_numpy(grids, [np.asarray(c) for c in tt.cores],
+                          np.asarray(q[:mp], np.float64))
+    max_dev = float(np.max(np.abs(xq - xo)))
+    parity_ok = max_dev < parity_tol
+
     print(json.dumps({
         "metric": (f"tt_irt_sqr samples/sec (d={d}, n={n}, r={rank}, "
                    f"M=2^{log2m}, {precision} precision)"),
         "value": rate,
         "unit": "samples/sec",
-        "vs_baseline": rate / target,
+        "vs_baseline": (rate / target) if parity_ok else 0.0,
+        "max_sample_dev_vs_f64": max_dev,
+        "parity_tol": parity_tol,
+        "parity_ok": parity_ok,
     }))
 
 
