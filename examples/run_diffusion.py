@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--delta", type=float, default=0.1)
     ap.add_argument("--correction", choices=["mcmc", "iw"], default="mcmc")
     ap.add_argument("--y0", type=float, default=1.5)
+    ap.add_argument("--ndev", type=int, default=0,
+                    help="shard posterior-cross probe batches over this "
+                         "many devices (0 = no mesh)")
     args = ap.parse_args()
 
     tol = 7.6742e-03 * 4.0 ** (-args.meshlevel - 1)  # htolfun (:57)
@@ -100,17 +103,23 @@ def main():
     uav_uni = TT(new_cores)
     uav_uni_rev = tt_reverse(uav_uni)
 
-    def post_fun(ind):
-        ind = np.asarray(ind)
-        vals = np.asarray(tt_eval_indices(
-            uav_uni_rev, jnp.asarray(ind[:, ::-1].copy())))
-        mis = np.sum((vals - q_obs[None, :]) ** 2, axis=1)
-        return np.exp(-mis / (2.0 * prob.sigma_n))
+    q_obs_j = jnp.asarray(q_obs)
 
+    def post_fun(ind):
+        # jax-traceable so the probe batches can shard over a mesh
+        vals = tt_eval_indices(uav_uni_rev, jnp.asarray(ind)[:, ::-1])
+        mis = jnp.sum((vals - q_obs_j[None, :]) ** 2, axis=1)
+        return jnp.exp(-mis / (2.0 * prob.sigma_n))
+
+    mesh = None
+    if args.ndev:
+        from tt_irt_tpu.parallel.mesh import sample_mesh
+
+        mesh = sample_mesh(args.ndev)
     t0 = time.perf_counter()
     pi = ti.amen_cross_s([args.npi] * ell, post_fun, 0.0,
                          tol_exit=args.delta, y0=args.rmax, kickrank=0,
-                         nswp=1, seed=1)
+                         nswp=1, seed=1, mesh=mesh)
     t_pi = time.perf_counter() - t0
     print(f"posterior cross: {t_pi:.2f}s, ranks {pi.tt.ranks}")
 

@@ -34,19 +34,26 @@ def main():
     ap.add_argument("--delta", type=float, default=0.05)
     ap.add_argument("--log2n", type=int, default=14)
     ap.add_argument("--runs", type=int, default=8)
+    ap.add_argument("--ndev", type=int, default=0,
+                    help="shard cross probe batches over this many "
+                         "devices (0 = no mesh)")
     args = ap.parse_args()
 
     cfg = sa.ShockConfig(d=args.d, n=args.n, x=sa.paper_covariates()
                          if args.d == 6 else None)
     lpifun = cfg.log_posterior_fn()
     grids = cfg.grids()
+    mesh = None
+    if args.ndev:
+        from tt_irt_tpu.parallel.mesh import sample_mesh
+
+        mesh = sample_mesh(args.ndev)
+    gmat = jnp.stack([jnp.asarray(g) for g in grids], axis=1)  # (n, d+2)
 
     def cross_fun(ind):
-        ind = np.asarray(ind)
-        theta = jnp.stack(
-            [jnp.asarray(grids[k])[ind[:, k]] for k in range(cfg.d + 2)],
-            axis=1)
-        return np.asarray(jnp.exp(lpifun(theta)))
+        # jax-traceable so the probe batches can shard over a mesh
+        theta = jnp.take_along_axis(gmat, jnp.asarray(ind), axis=0)
+        return jnp.exp(lpifun(theta))
 
     m = 1 << args.log2n
     q_mh, q_iw, taus, rejs, evals, pis = [], [], [], [], [], []
@@ -55,7 +62,7 @@ def main():
         t0 = time.perf_counter()
         res = ti.amen_cross_s([args.n] * (cfg.d + 2), cross_fun, 0.0,
                               tol_exit=args.delta, y0=8, kickrank=2,
-                              seed=irun)
+                              seed=irun, mesh=mesh)
         t_cross.append(time.perf_counter() - t0)
         evals.append(res.evalcnt[0])
         if irun < max(args.runs // 4, 2):

@@ -164,3 +164,82 @@ def test_sharded_construction_matches_single_device():
     z2, lf2 = tt_dirt_sample(d2, qn)
     assert float(jnp.max(jnp.abs(z1 - z2))) < 1e-10
     assert float(jnp.max(jnp.abs(lf1 - lf2))) < 1e-8
+
+
+@needs_multi
+def test_sharded_amen_cross_matches_single_device():
+    """Standalone amen_cross_s with mesh= (VERDICT r02 #3): probe
+    batches shard over the mesh; an 8-device build must equal a
+    1-device build exactly (both jit via sharded_batch_fn, so pivot
+    selection sees bitwise-identical values)."""
+    from tt_irt_tpu import amen_cross_s, tt_full
+
+    d, n = 4, 11
+    grids = jnp.linspace(-2.0, 2.0, n)
+
+    def fun(ind):
+        x = grids[ind]
+        s = jnp.sum(x, axis=1)
+        return jnp.exp(-0.5 * s * s) + 0.2 * jnp.cos(s)
+
+    kw = dict(tol_exit=1e-8, nswp=8, kickrank=3, seed=3)
+    r1 = amen_cross_s([n] * d, fun, 1e-10, mesh=sample_mesh(1), **kw)
+    r8 = amen_cross_s([n] * d, fun, 1e-10, mesh=sample_mesh(8), **kw)
+    f1 = np.asarray(tt_full(r1.tt))
+    f8 = np.asarray(tt_full(r8.tt))
+    np.testing.assert_allclose(f8, f1, rtol=0, atol=1e-13)
+    # and it actually approximates the target
+    mesh_pts = np.meshgrid(*[np.linspace(-2, 2, n)] * d, indexing="ij")
+    s = sum(mesh_pts)
+    ref = np.exp(-0.5 * s * s) + 0.2 * np.cos(s)
+    assert np.max(np.abs(f8 - ref)) < 1e-6
+
+
+@needs_multi
+def test_sharded_greedy_cross_matches_single_device():
+    from tt_irt_tpu import tt_full
+    from tt_irt_tpu.constructors.greedy_cross import greedy_cross
+
+    d, n = 4, 9
+    grids = jnp.linspace(-1.0, 1.0, n)
+
+    def fun(ind):
+        x = grids[ind]
+        s = jnp.sum(x, axis=1)
+        return jnp.exp(-0.5 * s * s) + 0.3 * jnp.sin(2 * s)
+
+    kw = dict(nswp=25, tol_exit=1e-7, seed=1)
+    r1 = greedy_cross([n] * d, fun, 1e-8, mesh=sample_mesh(1), **kw)
+    r8 = greedy_cross([n] * d, fun, 1e-8, mesh=sample_mesh(8), **kw)
+    np.testing.assert_allclose(np.asarray(tt_full(r8.tt)),
+                               np.asarray(tt_full(r1.tt)),
+                               rtol=0, atol=1e-13)
+
+
+@needs_multi
+def test_sharded_deep_serve_real_checkpoint():
+    """Multi-chip serve of the SHIPPED Lorenz d=40 checkpoint (14
+    levels, n=33, r=23 — the production artifact, VERDICT r02 #6):
+    sharded over the 8-device mesh must equal single-device exactly."""
+    import os
+
+    from tt_irt_tpu import randref, tt_dirt_sample
+    from tt_irt_tpu.utils.checkpoint import load_dirt
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "data", "lz40n33_ck")
+    if not os.path.exists(path + ".npz"):
+        pytest.skip("lz40n33 checkpoint not shipped in this tree")
+    dirt = load_dirt(path)
+    assert dirt.nlevels >= 13 and dirt.d == 40
+    mesh = sample_mesh(8)
+    q = randref("n3", jax.random.PRNGKey(11), (8 * 32, 40))
+    z_ref, lf_ref = tt_dirt_sample(dirt, q)
+    q_sh = shard_samples(mesh, jnp.asarray(q))
+    dirt_repl = replicate(mesh, dirt)
+    z_sh, lf_sh = tt_dirt_sample(dirt_repl, q_sh)
+    np.testing.assert_allclose(np.asarray(z_sh), np.asarray(z_ref),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(lf_sh), np.asarray(lf_ref),
+                               atol=1e-10)
+    assert len(z_sh.sharding.device_set) == 8

@@ -185,7 +185,7 @@ def _rev_mats(lm, rm):
 def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
                  verb=0, vec=True, tol_exit=None, exitdir=0, dir=1,
                  auxinp=None, auxfun=None, stats=(), seed=0,
-                 rmax=None) -> CrossResult:
+                 rmax=None, mesh=None) -> CrossResult:
     """Block TT-cross with AMEn residual enrichment and maxvol pivoting.
 
     Args:
@@ -203,6 +203,11 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
       stats: iterable from {'sr','lr','sm','lm','si','li'} — min/max value
         tracking of the *sampled exact* function (amen_cross_s.m:51-56).
       rmax: optional hard rank cap.
+      mesh: optional jax.sharding.Mesh — every probe batch the cross
+        feeds to ``fun`` is evaluated with its sample axis sharded over
+        the mesh (the data-parallel construction evaluation of SURVEY
+        §2.6; reference hot path amen_cross_s.m:704-760).  Requires a
+        jittable (JAX-traceable) ``fun``; implies ``vec=True``.
 
     Returns CrossResult(tt, statvals, statind, indices, evalcnt).
     """
@@ -245,6 +250,9 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
     track_idx = (ifun is not None) or bool(soughts)
 
     if not callable(vec) and not vec:
+        if mesh is not None:
+            raise ValueError("mesh sharding requires a vectorized "
+                             "(jittable) fun; vec=False given")
         base_ifun, base_ffun = ifun, ffun
         if base_ifun is not None:
             ifun = lambda J: np.stack([np.atleast_1d(  # noqa: E731
@@ -254,6 +262,21 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
             ffun = lambda V: np.stack([np.atleast_1d(  # noqa: E731
                 np.asarray(base_ffun(V[k:k + 1]))).reshape(-1)[0]
                 for k in range(V.shape[0])])
+
+    if mesh is not None:
+        # Shard every probe batch over the device mesh.  Both the
+        # sharded and the unsharded path must go through jit for a
+        # mesh build to reproduce a single-device build bitwise (the
+        # cross's pivot selection amplifies eager-vs-jit ulps into
+        # different, equally valid, interpolants) — sharded_batch_fn
+        # jits; the unsharded path evaluates fun directly, so sharded
+        # builds are compared against mesh(1-device) builds in tests.
+        from ..parallel.mesh import sharded_batch_fn
+
+        if ifun is not None:
+            ifun = sharded_batch_fn(mesh, ifun)
+        if ffun is not None:
+            ffun = sharded_batch_fn(mesh, ffun)
 
     evalcnt = [0, 0]
 

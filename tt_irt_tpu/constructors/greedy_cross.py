@@ -55,7 +55,8 @@ def _merge_cols(n, jr):
 
 
 def greedy_cross(n, fun, tol, *, nswp=20, y0=None, tol_exit=None,
-                 verb=0, seed=0, rmax=None, rook_iters=2) -> CrossResult:
+                 verb=0, seed=0, rmax=None, rook_iters=2, cache=True,
+                 mesh=None) -> CrossResult:
     """Greedy rook-pivoted TT-cross of ``fun(ind) -> (M,)`` over 0-based
     integer multi-indices with mode sizes ``n``.
 
@@ -69,6 +70,14 @@ def greedy_cross(n, fun, tol, *, nswp=20, y0=None, tol_exit=None,
         the reference's y0mid (tt_dirt_approx.m:183-184).
       nswp / tol_exit / rmax: sweep cap, exit threshold (defaults to
         tol), hard rank cap.
+      cache: memoize evaluated fibers across sweeps, so evaluation
+        cost scales with *new* pivots instead of sweeps (the
+        reference's greedy cross reuses evaluated fibers too) — the
+        interpolation blocks u/w repeat almost entirely between
+        sweeps and in the final core assembly.
+      mesh: optional jax.sharding.Mesh — probe batches evaluate with
+        the sample axis sharded over the mesh (requires jittable fun;
+        see amen_cross_s).
     Returns CrossResult (statvals/statind are None).
     """
     rng = np.random.default_rng(seed)
@@ -77,10 +86,42 @@ def greedy_cross(n, fun, tol, *, nswp=20, y0=None, tol_exit=None,
     tol_exit = tol if tol_exit is None else tol_exit
     evalcnt = [0, 0]
 
+    if mesh is not None:
+        from ..parallel.mesh import sharded_batch_fn
+
+        fun = sharded_batch_fn(mesh, fun)
+
+    def _call(ind):
+        """Evaluate fun padded to a power-of-two batch (>= 32): keeps a
+        jitted density's compile count logarithmic, and makes the batch
+        shapes device-count-divisible so a mesh build equals a
+        single-device build bitwise (see amen_cross_s)."""
+        m = ind.shape[0]
+        mpad = 1 << max(5, (m - 1).bit_length())
+        if mpad != m:
+            ind = np.concatenate(
+                [ind, np.broadcast_to(ind[:1], (mpad - m, ind.shape[1]))],
+                axis=0)
+        return np.asarray(fun(ind), dtype=np.float64).reshape(-1)[:m]
+
+    fibcache: dict = {}
+
     def feval(ind):
-        ind = np.asarray(ind, dtype=np.int64)
-        evalcnt[0] += ind.shape[0]
-        return np.asarray(fun(ind), dtype=np.float64).reshape(-1)
+        ind = np.ascontiguousarray(ind, dtype=np.int64)
+        if not cache:
+            evalcnt[0] += ind.shape[0]
+            return _call(ind)
+        keys = [r.tobytes() for r in ind]
+        miss = np.fromiter((k not in fibcache for k in keys), dtype=bool,
+                           count=len(keys))
+        midx = np.flatnonzero(miss)
+        if midx.size:
+            vals = _call(ind[midx])
+            evalcnt[0] += int(midx.size)
+            for j, v in zip(midx, vals):
+                fibcache[keys[j]] = float(v)
+        return np.fromiter((fibcache[k] for k in keys), dtype=np.float64,
+                           count=len(keys))
 
     if y0 is None:
         y0 = np.array([(nk - 1) // 2 for nk in n], dtype=np.int64)
