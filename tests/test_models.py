@@ -133,3 +133,82 @@ def test_pp_dirt_end_to_end():
     # normalized posterior mean near 1
     post_mean = np.asarray(res.y).mean(axis=0)
     assert np.max(np.abs(post_mean - 1.0)) < 0.25
+
+
+def test_adaptive_dopri5_tolerance_scaling():
+    """integrate_adaptive must deliver errors tracking rtol (ode45
+    semantics, PP_loglikelihood.m:7-9) on a chaotic Lorenz flow over a
+    long window where a coarse fixed grid is inaccurate."""
+    from tt_irt_tpu.models.lorenz import lorenz_rhs
+    from tt_irt_tpu.models.ode import integrate_adaptive, integrate_to
+
+    rng = np.random.default_rng(0)
+    y0 = jnp.asarray(1.0 + 0.5 * rng.standard_normal((16, 10)))
+    t1 = 2.0
+    ref = integrate_to(lorenz_rhs, y0, 0.0, t1, 4096)   # fine fixed ref
+
+    errs = {}
+    stats = {}
+    for rtol in (1e-4, 1e-7):
+        y, st = integrate_adaptive(lorenz_rhs, y0, 0.0, t1, rtol=rtol,
+                                   atol=rtol * 1e-2, return_stats=True)
+        errs[rtol] = float(jnp.max(jnp.abs(y - ref)))
+        stats[rtol] = st
+    # global error = local tolerance x Lyapunov amplification (~e^2.4
+    # over t=2 on this flow); measured: 1.1e-2 at rtol 1e-4, 1.8e-5 at
+    # 1e-7 — clean tolerance tracking with ~10x assertion headroom
+    assert errs[1e-4] < 5e-2, errs
+    assert errs[1e-7] < 2e-4, errs
+    assert errs[1e-7] < errs[1e-4] * 0.1, errs
+    # tighter tolerance must take more steps; all rows reach t1
+    assert int(jnp.min(stats[1e-7]["nsteps"])) > \
+        int(jnp.min(stats[1e-4]["nsteps"]))
+    np.testing.assert_allclose(np.asarray(stats[1e-7]["t"]), t1,
+                               atol=1e-9)
+
+
+def test_adaptive_matches_fixed_step_likelihoods():
+    """A/B at reference tolerances (VERDICT r02 #5): the adaptive and
+    tuned-fixed-grid likelihoods must agree on both ODE problem suites."""
+    from tt_irt_tpu.models import lorenz as lz
+    from tt_irt_tpu.models import predator_prey as pp
+
+    rng = np.random.default_rng(1)
+
+    prob = lz.LorenzProblem(d=10, seed=0)
+    x = jnp.asarray(prob.x0base[None, :]
+                    + 0.3 * rng.standard_normal((32, 10)))
+    ll_fix = lz.lorenz_ll(x, jnp.asarray(prob.data), prob.sigma_n,
+                          steps=prob.steps)
+    ll_ad = lz.lorenz_ll(x, jnp.asarray(prob.data), prob.sigma_n,
+                         adaptive=True, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ll_ad), np.asarray(ll_fix),
+                               rtol=1e-4, atol=1e-5)
+
+    ppb = pp.PredatorPreyProblem(seed=0)
+    xs = jnp.asarray(1.0 + 0.1 * rng.standard_normal((8, ppb.d)))
+    lp_fix = pp.pp_loglikelihood(
+        xs, jnp.asarray(ppb.data), jnp.asarray(ppb.obs_times),
+        ppb.sigma_n, jnp.asarray(ppb.xtrue), np.asarray(ppb.ind),
+        steps_per_interval=256)
+    lp_ad = pp.pp_loglikelihood(
+        xs, jnp.asarray(ppb.data), jnp.asarray(ppb.obs_times),
+        ppb.sigma_n, jnp.asarray(ppb.xtrue), np.asarray(ppb.ind),
+        adaptive=True, rtol=1e-6)
+    # reference tolerance (RelTol 1e-6): likelihoods agree to ~1e-4
+    np.testing.assert_allclose(np.asarray(lp_ad), np.asarray(lp_fix),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_adaptive_integrator_jits():
+    """The while_loop form must compile inside jit (construction pushes
+    trace the likelihood)."""
+    from tt_irt_tpu.models.lorenz import lorenz_rhs
+    from tt_irt_tpu.models.ode import integrate_adaptive
+
+    @jax.jit
+    def f(y0):
+        return integrate_adaptive(lorenz_rhs, y0, 0.0, 0.1, rtol=1e-6)
+
+    y = f(jnp.ones((4, 10)))
+    assert np.all(np.isfinite(np.asarray(y)))

@@ -34,10 +34,22 @@ def lorenz_rhs(t, x):
     return (xp1 - xm2) * xm1 - x + _FORCING
 
 
-def lorenz_ll(x0, data, sigma_n, steps: int = 40):
+def lorenz_ll(x0, data, sigma_n, steps: int = 40,
+              adaptive: bool = False, rtol: float = 1e-6,
+              atol: float = 1e-8):
     """Gaussian log-likelihood of even-coordinate observations at t=0.1
-    (lorenz_ll.m: observe Y(:, 2:2:end), misfit / (2 sigma_n^2))."""
-    y = integrate_to(lorenz_rhs, x0, 0.0, _T_OBS, steps)
+    (lorenz_ll.m: observe Y(:, 2:2:end), misfit / (2 sigma_n^2)).
+
+    ``adaptive=True`` integrates with the error-controlled
+    Dormand-Prince pair (ode45 tolerance semantics, lorenz_ll.m:5-12)
+    instead of the tuned fixed grid."""
+    if adaptive:
+        from .ode import integrate_adaptive
+
+        y = integrate_adaptive(lorenz_rhs, x0, 0.0, _T_OBS, rtol=rtol,
+                               atol=atol)
+    else:
+        y = integrate_to(lorenz_rhs, x0, 0.0, _T_OBS, steps)
     obs = y[:, 1::2]
     return -0.5 * jnp.sum((data[None, :] - obs) ** 2, axis=1) / sigma_n**2
 
@@ -55,6 +67,8 @@ class LorenzProblem:
     n: int = 17
     seed: int = 0
     steps: int = 40
+    adaptive: bool = False
+    rtol: float = 1e-6
     x0true: Optional[np.ndarray] = None
     data: Optional[np.ndarray] = None
     beta: np.ndarray = field(
@@ -87,7 +101,8 @@ class LorenzProblem:
 
     def log_likelihood(self, x):
         return lorenz_ll(x, jnp.asarray(self.data), self.sigma_n,
-                         self.steps)
+                         self.steps, adaptive=self.adaptive,
+                         rtol=self.rtol)
 
     def log_posterior_fn(self):
         @jax.jit

@@ -46,12 +46,17 @@ def pp_rhs(t, y, params):
 
 
 def pp_loglikelihood(x, data, obs_times, sigma_n, xtrue, ind,
-                     steps_per_interval: int = 64):
+                     steps_per_interval: int = 64, adaptive: bool = False,
+                     rtol: float = 1e-6, atol: float = 1e-8):
     """Vectorized ODE log-likelihood (PP_loglikelihood.m):
     X = xtrue with X[:, ind] = x * xtrue[ind]; integrate the batched
     system through the observation times; Gaussian misfit with variance
     ``sigma_n`` (the reference's sigma_n is a variance: data is
-    synthesized with sqrt(sigma_n) noise, test_predator_prey_dirt.m:81)."""
+    synthesized with sqrt(sigma_n) noise, test_predator_prey_dirt.m:81).
+
+    ``adaptive=True`` switches to the error-controlled Dormand-Prince
+    integrator at the reference's tolerance semantics (ode45 RelTol
+    1e-6, PP_loglikelihood.m:7-9) instead of the tuned fixed grid."""
     x = jnp.asarray(x)
     m = x.shape[0]
     xtrue = jnp.asarray(xtrue)
@@ -59,9 +64,16 @@ def pp_loglikelihood(x, data, obs_times, sigma_n, xtrue, ind,
     full = jnp.tile(xtrue[None, :], (m, 1))
     full = full.at[:, ind].set(x * xtrue[ind][None, :])
     y0 = full[:, :2]
-    states = integrate_observed(pp_rhs_factory(full), y0,
-                                jnp.asarray(obs_times),
-                                steps_per_interval)       # (T, M, 2)
+    if adaptive:
+        from .ode import integrate_observed_adaptive
+
+        states = integrate_observed_adaptive(
+            pp_rhs_factory(full), y0, jnp.asarray(obs_times),
+            rtol=rtol, atol=atol)                         # (T, M, 2)
+    else:
+        states = integrate_observed(pp_rhs_factory(full), y0,
+                                    jnp.asarray(obs_times),
+                                    steps_per_interval)   # (T, M, 2)
     data = jnp.asarray(data)                              # (T, 2)
     misfit = jnp.sum((states - data[:, None, :]) ** 2, axis=(0, 2))
     return -0.5 * misfit / sigma_n
@@ -93,6 +105,8 @@ class PredatorPreyProblem:
         default_factory=lambda: list(range(7, -1, -1)))
     seed: int = 0
     steps_per_interval: int = 64
+    adaptive: bool = False
+    rtol: float = 1e-6
     beta: np.ndarray = field(
         default_factory=lambda: 10.0 ** np.arange(-4, 0.5, 0.5))
 
@@ -131,7 +145,9 @@ class PredatorPreyProblem:
         @jax.jit
         def lp(x):
             return pp_loglikelihood(x, data, obs, self.sigma_n, xtrue,
-                                    ind, self.steps_per_interval)
+                                    ind, self.steps_per_interval,
+                                    adaptive=self.adaptive,
+                                    rtol=self.rtol)
 
         return lp
 
