@@ -58,3 +58,23 @@ def test_svn_gaussian_collapse():
     emp = np.cov(p.T)
     # SVN particle covariances underestimate slightly at small N
     assert np.all(np.abs(emp - cov) < 0.8)
+
+
+def test_svn_gershgorin_spd_mode():
+    """The TPU-backend SPD-ification (Gershgorin shift instead of the
+    batched-eigh custom call, VERDICT r02 weak #4) must still collapse
+    onto a Gaussian posterior."""
+    import jax.numpy as jnp
+
+    prec = np.array([[2.0, 0.6], [0.6, 1.0]])
+
+    def nlp(xi):
+        return 0.5 * xi @ prec @ xi
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((64, 2)) * 2.0 + 1.0)
+    res = svn(nlp, x0, steps=60, step_size=0.7, spd_mode="gershgorin")
+    cov = np.cov(np.asarray(res.particles).T)
+    np.testing.assert_allclose(cov, np.linalg.inv(prec), atol=0.35)
+    mean = np.asarray(res.particles).mean(axis=0)
+    np.testing.assert_allclose(mean, 0.0, atol=0.25)
