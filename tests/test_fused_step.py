@@ -1,0 +1,96 @@
+"""Fused Pallas per-dim step kernels (ops/pallas_step.py).
+
+On CPU the kernels run in Pallas interpret mode, so these tests verify
+the exact same kernel code the TPU compiles (minus Mosaic layout).  The
+fused path must reproduce the XLA scan path at the f32 working
+precision — it computes the same quantities with the same MXU precision,
+only without HBM round trips of the (Mb, n*r)/(Mb, r^2) intermediates.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tt_irt_tpu as ti
+from tt_irt_tpu.ops.pallas_step import (
+    condition_update, factor_conditional, gram_conditional,
+)
+
+
+def _mk_tt(d=8, n=17, r=7, seed=5):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(-2, 2, n)
+    cores = []
+    for k in range(d):
+        r1 = 1 if k == 0 else r
+        r2 = 1 if k == d - 1 else r
+        c = np.exp(-((x[None, :, None] - 0.3) ** 2)
+                   / (2 * rng.uniform(0.1, 0.5, (r1, 1, r2)) ** 2)) \
+            * rng.uniform(0.2, 1, (r1, 1, r2))
+        cores.append(jnp.asarray(np.broadcast_to(c, (r1, n, r2)).copy()))
+    return ti.TT(cores), [jnp.asarray(x)] * d
+
+
+def test_kernels_match_numpy():
+    rng = np.random.default_rng(0)
+    m, r, n = 256, 23, 33
+    phi = jnp.asarray(rng.standard_normal((m, r)), jnp.float32)
+    bt = rng.standard_normal((n, r, r)).astype(np.float32)
+    bmat = jnp.asarray(np.transpose(bt, (1, 0, 2)).reshape(r, n * r))
+    fk = factor_conditional(phi, bmat)
+    ref = np.einsum("mi,xij->mxj", np.asarray(phi), bt)
+    ref = np.sum(ref ** 2, axis=2)
+    assert np.max(np.abs(np.asarray(fk) - ref)) / np.max(ref) < 1e-6
+
+    pt = rng.standard_normal((r, r, n)).astype(np.float32)
+    fk2 = gram_conditional(phi, jnp.asarray(pt.reshape(r * r, n)))
+    ref2 = np.einsum("mi,ijx,mj->mx", np.asarray(phi), pt,
+                     np.asarray(phi))
+    assert np.max(np.abs(np.asarray(fk2) - ref2)) / np.max(
+        np.abs(ref2)) < 1e-5
+
+    core = rng.standard_normal((r, n, r)).astype(np.float32)
+    cmat = jnp.asarray(np.transpose(core, (1, 0, 2)).reshape(n, r * r))
+    i0 = rng.integers(0, n - 1, size=m)
+    la = rng.uniform(size=m).astype(np.float32)
+    lb = (1.0 - la).astype(np.float32)
+    out = condition_update(phi, jnp.asarray(i0), jnp.asarray(la),
+                           jnp.asarray(lb), cmat)
+    g = core[:, i0, :] * la[None, :, None] + \
+        core[:, i0 + 1, :] * lb[None, :, None]
+    refp = np.einsum("mi,imj->mj", np.asarray(phi), g)
+    refp = refp / np.maximum(np.max(np.abs(refp), axis=1, keepdims=True),
+                             1e-30)
+    assert np.max(np.abs(np.asarray(out) - refp)) < 1e-5
+
+
+@pytest.mark.parametrize("precision", ["hi", "mixed", "f32"])
+def test_fused_transform_matches_xla_path(precision):
+    tt, grids = _mk_tt()
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.uniform(size=(1024, 8)))
+    os.environ["TTIRT_FUSED_STEP"] = "0"
+    try:
+        x0, l0 = ti.tt_irt_sqr(grids, tt, q, precision=precision)
+        os.environ["TTIRT_FUSED_STEP"] = "1"
+        x1, l1 = ti.tt_irt_sqr(grids, tt, q, precision=precision)
+    finally:
+        os.environ.pop("TTIRT_FUSED_STEP", None)
+    assert float(jnp.max(jnp.abs(x1 - x0))) < 1e-6
+    assert float(jnp.max(jnp.abs(l1 - l0))) < 1e-5
+
+
+def test_fused_rt_roundtrip():
+    tt, grids = _mk_tt()
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.uniform(size=(512, 8)))
+    os.environ["TTIRT_FUSED_STEP"] = "1"
+    try:
+        x, _ = ti.tt_irt_sqr(grids, tt, q, precision="hi")
+        qb, _ = ti.tt_rt_sqr(grids, tt, x, precision="hi")
+    finally:
+        os.environ.pop("TTIRT_FUSED_STEP", None)
+    assert float(jnp.max(jnp.abs(qb - q))) < 1e-5

@@ -285,7 +285,7 @@ def _cdf_invert(mode, n, fk, xp, h, qp):
     la = (x2 - xk) / (x2 - x1)
     lb = (xk - x1) / (x2 - x1)
     dlf = jnp.log(f1 * la + f2 * lb)
-    return out, dlf, la, lb, oh0, oh1
+    return out, dlf, la, lb, i0, oh0, oh1
 
 
 def _cdf_invert_fast(mode, n, fk, xp, h32, qp):
@@ -373,7 +373,7 @@ def _cdf_invert_fast(mode, n, fk, xp, h32, qp):
     la = (x2 - xk) / (x2 - x1)
     lb = (xk - x1) / (x2 - x1)
     dlf = jnp.log(f1 * la + f2 * lb) - jnp.log(tot)
-    return out, dlf, la, lb, oh0, oh1
+    return out, dlf, la, lb, i0, oh0, oh1
 
 
 def _step(mode, n, cdf_dtype, carry, inp):
@@ -398,14 +398,14 @@ def _step(mode, n, cdf_dtype, carry, inp):
     # ---- CDF build + inversion (possibly promoted precision) ----
     if cdt == jnp.float32 and cdf_dtype == jnp.float64:
         # 'mixed': f32 rows + compensated cumsums + f64 scalars
-        out, dlf, la, lb, oh0, oh1 = _cdf_invert_fast(
+        out, dlf, la, lb, _, oh0, oh1 = _cdf_invert_fast(
             mode, n, jnp.maximum(fk, 0.0), x.astype(jnp.float64),
             h.astype(jnp.float32), qk.astype(jnp.float64))
     else:
         fk = fk.astype(cdf_dtype)
         xp = x.astype(cdf_dtype)
         qp = qk.astype(cdf_dtype)
-        out, dlf, la, lb, oh0, oh1 = _cdf_invert(
+        out, dlf, la, lb, _, oh0, oh1 = _cdf_invert(
             mode, n, fk, xp, h.astype(cdf_dtype), qp)
     lf = lf + dlf.astype(lf.dtype)
     # prefix conditioning via the interpolation matrix:
@@ -436,7 +436,7 @@ def _step_factor(mode, n, carry, inp):
     v = jnp.matmul(phi, bmat, precision=_HI)               # (Mb, n*r)
     v = jnp.reshape(v, (mb, n, r))
     fk = jnp.sum(v * v, axis=2)                            # (Mb, n) f32
-    out, dlf, la, lb, oh0, oh1 = _cdf_invert_fast(
+    out, dlf, la, lb, _, oh0, oh1 = _cdf_invert_fast(
         mode, n, fk, x, h.astype(jnp.float32), qk)
     lf = lf + dlf
     w = (la[:, None].astype(jnp.float32) * oh0
@@ -472,7 +472,7 @@ def _step_ds(mode, n, carry, inp):
     sqh, sql = ds_mul(vh, vl, vh, vl)
     fh, fl = ds_sum_pairwise(sqh, sql, axis=2)
     fk = ds_to_f64(fh, fl)                                 # (Mb, n)
-    out, dlf, la, lb, oh0, oh1 = _cdf_invert(mode, n, fk, x, h, qk)
+    out, dlf, la, lb, _, oh0, oh1 = _cdf_invert(mode, n, fk, x, h, qk)
     lf = lf + dlf
     # interpolation weights exact in ds (la/lb are f64)
     w64 = la[:, None] * oh0 + lb[:, None] * oh1            # (Mb, n) f64
@@ -493,6 +493,45 @@ def _step_ds(mode, n, carry, inp):
     return ((phh, phl), lf), out
 
 
+def _step_factor_fused(mode, n, carry, inp):
+    """_step_factor with the two big contractions fused into Pallas
+    kernels (ops/pallas_step.py): the (Mb, n*r) factor product and the
+    (Mb, r^2) interpolated-core product stay in VMEM — the XLA path
+    round-trips ~2.2 GB/dim through HBM at the d=40 production shape."""
+    from ..ops.pallas_step import condition_update, factor_conditional
+
+    phi, lf = carry                                        # (Mb, r) f32
+    bmat, cmat, x, h, qk = inp
+    fk = factor_conditional(phi, bmat)                     # (Mb, n) f32
+    out, dlf, la, lb, i0, _, _ = _cdf_invert_fast(
+        mode, n, fk, x, h.astype(jnp.float32), qk)
+    lf = lf + dlf
+    phi = condition_update(phi, i0, la.astype(jnp.float32),
+                           lb.astype(jnp.float32), cmat)
+    return (phi, lf), out
+
+
+def _step_gram_fused(mode, n, cdf_dtype, carry, inp):
+    """_step (Gram form, f32/mixed) with fused Pallas contractions."""
+    from ..ops.pallas_step import condition_update, gram_conditional
+
+    phi, lf = carry                                        # (Mb, r) f32
+    pmat, cmat, x, h, qk = inp                # (r*r, n), (n, r*r)
+    fk = gram_conditional(phi, pmat)                       # (Mb, n)
+    if cdf_dtype == jnp.float64:
+        out, dlf, la, lb, i0, _, _ = _cdf_invert_fast(
+            mode, n, jnp.maximum(fk, 0.0), x.astype(jnp.float64),
+            h.astype(jnp.float32), qk.astype(jnp.float64))
+    else:
+        out, dlf, la, lb, i0, _, _ = _cdf_invert(
+            mode, n, fk.astype(cdf_dtype), x.astype(cdf_dtype),
+            h.astype(cdf_dtype), qk.astype(cdf_dtype))
+    lf = lf + dlf.astype(lf.dtype)
+    phi = condition_update(phi, i0, la.astype(jnp.float32),
+                           lb.astype(jnp.float32), cmat)
+    return (phi, lf), out
+
+
 _PRECISIONS = {
     # name -> (contraction dtype, CDF/inversion dtype, family)
     "f64": ("float64", "float64", "gram"),
@@ -509,7 +548,17 @@ def _family(mode, precision):
     return "gram" if mode == "lin" else fam
 
 
-def _prep(mode, cstack, xstack, precision, stable):
+def _use_fused(mode, precision) -> bool:
+    """Fused Pallas per-dim kernels apply to the f32-contraction sqr/rt
+    paths (ops/pallas_step.py; Mosaic has no f64)."""
+    from ..ops.pallas_step import fused_enabled
+
+    cdt, _, fam = _PRECISIONS[precision]
+    return (fused_enabled() and cdt == "float32"
+            and mode in ("sqr", "rt") and fam in ("gram", "factor"))
+
+
+def _prep(mode, cstack, xstack, precision, stable, fused=False):
     """Backward preparation; returns the pytree the forward pass scans
     over (everything except the per-block seeds)."""
     cdt, pdt, _ = _PRECISIONS[precision]
@@ -522,6 +571,14 @@ def _prep(mode, cstack, xstack, precision, stable):
         else:
             pstack, hstack = _prepare_scan(cs, xstack.astype(cdt),
                                            stable=stable)
+        if fused:
+            # packed operands for the fused Pallas step: P as (r*r, n),
+            # the core unfolded as (n, r*r)
+            d, r, n, _ = cs.shape
+            pmat = jnp.reshape(pstack, (d, r * r, n))
+            cmat = jnp.reshape(jnp.transpose(cs, (0, 2, 1, 3)),
+                               (d, n, r * r))
+            return (pmat, cmat, xs, hstack.astype(pdt))
         return (pstack, cs, xs, hstack.astype(pdt))
     # factor families prepare in f64 and downcast the emitted factor
     bstack, hstack = _prepare_scan_factor(cstack, xstack)
@@ -539,12 +596,23 @@ def _prep(mode, cstack, xstack, precision, stable):
     return (bh, bl, ch, cl, xs, hs)
 
 
-def _fwd(mode, precision, prep, q):
+def _fwd(mode, precision, prep, q, fused=False):
     """Forward pass over one sample block given prepared marginals."""
     cdt, pdt, _ = _PRECISIONS[precision]
     family = _family(mode, precision)
     mb = q.shape[0]
     if family == "gram":
+        if fused:
+            pmat, cmat, xs, hs = prep
+            d, rr, n = pmat.shape
+            r = int(round(rr ** 0.5))
+            phi0 = jnp.zeros((mb, r), jnp.float32).at[:, 0].set(1.0)
+            lf0 = jnp.zeros((mb,), pdt)
+            xsq = (pmat, cmat, xs, hs, q.astype(pdt).T)
+            (_, lf), outs = jax.lax.scan(
+                partial(_step_gram_fused, mode, n, jnp.dtype(pdt)),
+                (phi0, lf0), xsq)
+            return outs.T, lf
         pstack, cs, xs, hs = prep
         d, r = cs.shape[0], cs.shape[1]
         n = cs.shape[2]
@@ -565,8 +633,9 @@ def _fwd(mode, precision, prep, q):
         phi0 = jnp.zeros((mb, r), jnp.float32).at[:, 0].set(1.0)
         lf0 = jnp.zeros((mb,), jnp.float64)
         xsq = (bmat, cmat, xs, hs, q.astype(jnp.float64).T)
-        (_, lf), outs = jax.lax.scan(partial(_step_factor, mode, n),
-                                     (phi0, lf0), xsq)
+        step = partial(_step_factor_fused, mode, n) if fused \
+            else partial(_step_factor, mode, n)
+        (_, lf), outs = jax.lax.scan(step, (phi0, lf0), xsq)
         return outs.T, lf
     bh, bl, ch, cl, xs, hs = prep
     d, r = bh.shape[0], bh.shape[1]
@@ -581,21 +650,24 @@ def _fwd(mode, precision, prep, q):
 
 
 _prep_jit = partial(jax.jit, static_argnames=("mode", "precision",
-                                              "stable"))(
-    lambda mode, cstack, xstack, precision, stable:
-    _prep(mode, cstack, xstack, precision, stable))
+                                              "stable", "fused"))(
+    lambda mode, cstack, xstack, precision, stable, fused=False:
+    _prep(mode, cstack, xstack, precision, stable, fused))
 
-_fwd_jit = partial(jax.jit, static_argnames=("mode", "precision"))(
-    lambda mode, precision, prep, q: _fwd(mode, precision, prep, q))
+_fwd_jit = partial(jax.jit, static_argnames=("mode", "precision",
+                                             "fused"))(
+    lambda mode, precision, prep, q, fused=False:
+    _fwd(mode, precision, prep, q, fused))
 
 
-@partial(jax.jit, static_argnames=("mode", "precision", "stable"))
+@partial(jax.jit, static_argnames=("mode", "precision", "stable",
+                                   "fused"))
 def _irt_scan_one(mode, cstack, xstack, q, precision="f64",
-                  stable=False):
+                  stable=False, fused=False):
     """One-shot scan transform for a single sample block (kept for
     direct use in tests; irt_scan() splits prep from the block loop)."""
-    prep = _prep(mode, cstack, xstack, precision, stable)
-    return _fwd(mode, precision, prep, q)
+    prep = _prep(mode, cstack, xstack, precision, stable, fused)
+    return _fwd(mode, precision, prep, q, fused)
 
 
 def irt_scan(mode, cstack, xstack, q, block, precision="f64"):
@@ -609,17 +681,20 @@ def irt_scan(mode, cstack, xstack, q, block, precision="f64"):
     microseconds per block and compiles once for any M.)"""
     # QR-stabilized marginalization off-TPU (see _prepare_scan)
     stable = jax.default_backend() != "tpu"
+    fused = _use_fused(mode, precision)
     m = q.shape[0]
     nb = _num_blocks(m, block)
-    prep = _prep_jit(mode, cstack, xstack, precision, stable)
+    prep = _prep_jit(mode, cstack, xstack, precision, stable,
+                     fused=fused)
     if nb <= 1:
-        return _fwd_jit(mode, precision, prep, q)
+        return _fwd_jit(mode, precision, prep, q, fused=fused)
     padded = _pad_rows(q, nb * block)
     xs_parts, lf_parts = [], []
     for b in range(nb):
         xb, lb = _fwd_jit(mode, precision, prep,
                           jax.lax.slice_in_dim(padded, b * block,
-                                               (b + 1) * block))
+                                               (b + 1) * block),
+                          fused=fused)
         xs_parts.append(xb)
         lf_parts.append(lb)
     xs = jnp.concatenate(xs_parts, axis=0)[:m]
