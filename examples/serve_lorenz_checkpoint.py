@@ -4,12 +4,16 @@ The intended production split (BENCH_NOTES.md "Lorenz showcase"):
 build the transport once in f64 on CPU with per-level checkpointing
 (run_lorenz_dirt.py --fine-ladder --checkpoint PATH), then load the
 checkpoint here and push large sample batches through it on the TPU.
-Default serving precision is 'f32', which (with the stable two-sided
-citardauq inversion and HIGHEST-precision matmuls) matches the CPU f64
-reference to ~1e-6 at full speed; 'hi' adds factor-form conditionals
-for ill-conditioned stacks.  Reduced precision is statistically exact
-for debiasing regardless: the returned log-density is the exact
-Jacobian of the realized transport.
+
+Serving precision ('auto' default, samplers/dirt.py serve_precision):
+'f32' matches the CPU f64 reference to ~1e-6 *per level* at full
+speed, but that tail error compounds across composed levels — at the
+d=40 / 14-level stack f32 measures N/ESS 4.49 at 2^20 vs 1.63 for
+'hi' (BENCH_NOTES "serve precision policy") — so deep stacks default
+to 'hi' (factor-form conditionals, f64 CDF scalars).  Reduced
+precision is statistically exact for debiasing regardless: the
+returned log-density is the exact Jacobian of the realized transport;
+only raw-sample quality differs.
 
 Reference workflow: test_lorenz.m builds and samples in one process;
 the split is the TPU-native redesign (construction is latency-bound
@@ -49,8 +53,21 @@ def main():
     ap.add_argument("--log2n", type=int, default=20)
     ap.add_argument("--n", type=int, default=17)
     ap.add_argument("--a", type=float, default=10.0)
-    ap.add_argument("--precision", default="f32")
+    ap.add_argument("--precision", default="auto",
+                    help="'f32'/'mixed'/'hi'/'f64' or 'auto' (depth-"
+                         "aware: 'hi' for deep stacks, see "
+                         "serve_precision)")
+    ap.add_argument("--fused", default=None,
+                    help="1/0: force the fused Pallas step kernels on "
+                         "or off (default: on for TPU)")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="timing repetitions (best-of)")
+    ap.add_argument("--skip-quality", action="store_true",
+                    help="timing only: skip the exact-posterior "
+                         "N/ESS evaluation")
     args = ap.parse_args()
+    if args.fused is not None:
+        os.environ["TTIRT_FUSED_STEP"] = str(args.fused)
 
     dirt = load_dirt(args.checkpoint)
     data = np.load(args.problem + "_data.npy")
@@ -62,17 +79,26 @@ def main():
     prob.x0true = x0true
     lp = prob.log_posterior_fn()
 
+    precision = args.precision
+    if precision == "auto":
+        precision = ti.serve_precision(dirt)
+        print(f"precision auto -> {precision} ({dirt.nlevels} levels)")
+
     m = 1 << args.log2n
     q = ti.randref("n3", jax.random.PRNGKey(1), (m, d))
-    z, lfapp = ti.tt_dirt_sample(dirt, q, precision=args.precision)
+    z, lfapp = ti.tt_dirt_sample(dirt, q, precision=precision)
     _ = float(jnp.sum(z))          # warm-up compile + forced sync
-    t0 = time.perf_counter()
-    z, lfapp = ti.tt_dirt_sample(dirt, q, precision=args.precision)
-    _ = float(jnp.sum(z)) + float(jnp.sum(lfapp))
-    t_samp = time.perf_counter() - t0
+    t_samp = float("inf")
+    for _rep in range(args.reps):
+        t0 = time.perf_counter()
+        z, lfapp = ti.tt_dirt_sample(dirt, q, precision=precision)
+        _ = float(jnp.sum(z)) + float(jnp.sum(lfapp))
+        t_samp = min(t_samp, time.perf_counter() - t0)
     print(f"DIRT sampling 2^{args.log2n} x d={d} through "
           f"{dirt.nlevels + 1} levels: {t_samp:.2f}s "
           f"({m / t_samp:.3g} samples/s)", flush=True)
+    if args.skip_quality:
+        return
 
     lfex = lp(z)
     tau_ess = float(ti.essinv(lfex, lfapp))

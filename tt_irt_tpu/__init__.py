@@ -54,6 +54,7 @@ from .samplers.fourier import tt_irt_fourier  # noqa: E402
 from .samplers.chebyshev import tt_irt_cheb  # noqa: E402
 from .samplers.dirt import (  # noqa: E402
     DIRT,
+    serve_precision,
     tt_dirt_inverse,
     tt_dirt_sample,
 )
@@ -96,6 +97,7 @@ __all__ = [
     "tt_irt_cheb",
     "DIRT",
     "tt_dirt_sample",
+    "serve_precision",
     "tt_dirt_inverse",
     "mcmc_prune",
     "iw_prune",

@@ -51,12 +51,14 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def fused_enabled() -> bool:
-    """Use the fused kernels by default on TPU; TTIRT_FUSED_STEP=0/1
-    overrides (the XLA path remains the reference implementation)."""
+    """Opt-in via TTIRT_FUSED_STEP=1 (the XLA path is the default and
+    the reference implementation).  Measured on v5e (BENCH_NOTES r03):
+    at the n=17/r=13 bench shape the fused path is launch-overhead
+    bound and does not win; enable it where measurements justify."""
     env = os.environ.get("TTIRT_FUSED_STEP")
     if env is not None:
         return env not in ("0", "false", "off")
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def _interpret() -> bool:
@@ -138,7 +140,10 @@ def factor_conditional(phi, bmat):
     nr = bmat.shape[1]
     n = nr // r
     t = _tile(m)
-    return pl.pallas_call(
+    with jax.enable_x64(False):
+        # under jax_enable_x64 the grid/index-map constants trace as
+        # i64, which Mosaic rejects (same workaround as pallas_irt.py)
+        return pl.pallas_call(
         _factor_kernel,
         grid=(m // t,),
         in_specs=[
@@ -172,7 +177,8 @@ def gram_conditional(phi, pmat):
     m, r = phi.shape
     rr, n = pmat.shape
     t = _tile(m)
-    return pl.pallas_call(
+    with jax.enable_x64(False):
+        return pl.pallas_call(
         _gram_kernel,
         grid=(m // t,),
         in_specs=[
@@ -221,7 +227,8 @@ def condition_update(phi, i0, la, lb, cmat):
     m, r = phi.shape
     n, rr = cmat.shape
     t = _tile(m)
-    return pl.pallas_call(
+    with jax.enable_x64(False):
+        return pl.pallas_call(
         _update_kernel,
         grid=(m // t,),
         in_specs=[

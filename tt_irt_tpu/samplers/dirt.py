@@ -25,7 +25,24 @@ from .reference import (
     uniform_to_tnormal,
 )
 
-__all__ = ["DIRT", "tt_dirt_sample", "tt_dirt_inverse"]
+__all__ = ["DIRT", "tt_dirt_sample", "tt_dirt_inverse",
+           "serve_precision"]
+
+
+def serve_precision(dirt: "DIRT") -> str:
+    """Depth-aware default serving precision.
+
+    The per-level tail error of the pure-f32 path (~1e-6, BENCH_NOTES)
+    compounds across composed levels and becomes visible to the
+    chi^2-divergence (N/ESS) estimator at large sample counts: at the
+    d=40 / 14-level stack f32 measures N/ESS 4.49 at 2^20 vs 1.63 for
+    'hi' (identical debiased estimates either way — MH/IS correction is
+    exact — but raw-sample quality degrades).  Policy: 'f32' for
+    shallow stacks where its throughput advantage is free, 'hi' beyond
+    4 composed levels where the compounded tail error starts to bite.
+    Shapes/thresholds measured in BENCH_NOTES "serve precision policy"
+    (round 3)."""
+    return "hi" if dirt.nlevels > 4 else "f32"
 
 
 @jax.tree_util.register_pytree_node_class
