@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--skip-quality", action="store_true",
                     help="timing only: skip the exact-posterior "
                          "N/ESS evaluation")
+    ap.add_argument("--profile", default=None,
+                    help="directory for a jax.profiler trace of the "
+                         "timed serve")
     args = ap.parse_args()
     if args.fused is not None:
         os.environ["TTIRT_FUSED_STEP"] = str(args.fused)
@@ -89,11 +92,15 @@ def main():
     z, lfapp = ti.tt_dirt_sample(dirt, q, precision=precision)
     _ = float(jnp.sum(z))          # warm-up compile + forced sync
     t_samp = float("inf")
-    for _rep in range(args.reps):
-        t0 = time.perf_counter()
-        z, lfapp = ti.tt_dirt_sample(dirt, q, precision=precision)
-        _ = float(jnp.sum(z)) + float(jnp.sum(lfapp))
-        t_samp = min(t_samp, time.perf_counter() - t0)
+    import contextlib
+    prof = jax.profiler.trace(args.profile) if args.profile \
+        else contextlib.nullcontext()
+    with prof:
+        for _rep in range(args.reps):
+            t0 = time.perf_counter()
+            z, lfapp = ti.tt_dirt_sample(dirt, q, precision=precision)
+            _ = float(jnp.sum(z)) + float(jnp.sum(lfapp))
+            t_samp = min(t_samp, time.perf_counter() - t0)
     print(f"DIRT sampling 2^{args.log2n} x d={d} through "
           f"{dirt.nlevels + 1} levels: {t_samp:.2f}s "
           f"({m / t_samp:.3g} samples/s)", flush=True)

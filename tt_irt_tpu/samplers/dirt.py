@@ -102,6 +102,75 @@ class DIRT:
                 f"interpolation={self.interpolation!r})")
 
 
+def _resolve_precision(dirt: DIRT, precision):
+    if precision is not None:
+        return precision
+    return "f64" if dirt.f0.dtype == jnp.float64 else "f32"
+
+
+def _stack_levels(dirt: DIRT):
+    """Stack the upper-level TTs (shared grids ``dirt.x``) zero-padded
+    to a common max rank: (L, d, r, n, r).  Returns None when the
+    levels are not scan-eligible (mixed mode sizes etc.)."""
+    from .irt import _canon_grid
+    from .irt_scan import can_use_scan, stack_padded
+
+    if dirt.nlevels < 2:
+        return None
+    stacks, xstack = [], None
+    for f in dirt.fs:
+        gs, fc = _canon_grid(dirt.x, f)
+        if not can_use_scan(fc, gs, fc.d):
+            return None
+        cs, xstack = stack_padded(fc, gs)
+        stacks.append(cs)
+    if len({(s.shape[0], s.shape[2]) for s in stacks}) > 1:
+        return None  # levels disagree on (d, n): no common program
+    rmax = max(s.shape[1] for s in stacks)
+    padded = []
+    for s in stacks:
+        r = s.shape[1]
+        if r < rmax:
+            s = jnp.pad(s, ((0, 0), (0, rmax - r), (0, 0),
+                            (0, rmax - r)))
+        padded.append(s)
+    return jnp.stack(padded, axis=0), xstack
+
+
+def _serve_upper_levels(dirt: DIRT, z, lfapp, precision):
+    """Deep-serve fast path for the spline upper levels: ONE vmapped
+    backward preparation for all L levels (the per-level prep is
+    overhead-bound — ~137 ms/level of f64-emulated small ops at the
+    lz40n33 shape — so batching it is ~L x cheaper), then the usual
+    blocked forward per level.  Returns (z, lfapp) or None if the
+    stack is not eligible."""
+    import jax as _jax
+
+    from .irt import auto_block
+    from .irt_scan import (_prep_levels_jit, _use_fused, fwd_blocked)
+
+    stacked = _stack_levels(dirt)
+    if stacked is None:
+        return None
+    cstacks, xstack = stacked
+    prec = _resolve_precision(dirt, precision)
+    stable = _jax.default_backend() != "tpu"
+    fused = _use_fused("sqr", prec)
+    preps = _prep_levels_jit("sqr", cstacks, xstack, prec, stable,
+                             fused=fused)
+    sigma = dirt.sigma
+    block = auto_block(z.shape[0])
+    for j in range(dirt.nlevels - 1, -1, -1):
+        if sigma is not None:
+            z = tnormal_to_uniform(z, sigma)
+        prep_j = jax.tree_util.tree_map(lambda a: a[j], preps)
+        z, dlf = fwd_blocked("sqr", prec, prep_j, z, block, fused)
+        lfapp = lfapp + dlf
+        if sigma is not None:
+            lfapp = lfapp - tnormal_logdensity_shift(z, sigma)
+    return z, lfapp
+
+
 def _level_irt(dirt: DIRT, f: TT, z, precision=None):
     interp = str(dirt.interpolation).lower()
     if interp.startswith("s"):
@@ -152,14 +221,21 @@ def tt_dirt_sample(dirt: DIRT, q, logpostfun=None, precision=None,
         return z, lfapp
     sigma = dirt.sigma
     lfapp = jnp.zeros((z.shape[0],), z.dtype)
-    for j in range(dirt.nlevels - 1, -1, -1):
-        if sigma is not None:
-            z = tnormal_to_uniform(z, sigma)
-        z, dlf = _level_irt(dirt, dirt.fs[j], z, precision)
-        lfapp = lfapp + dlf
-        if sigma is not None:
-            # subtract the reference log-density at the new points
-            lfapp = lfapp - tnormal_logdensity_shift(z, sigma)
+    served = None
+    if dirt.interpolation.startswith("s") and \
+            not isinstance(z, jax.core.Tracer):
+        served = _serve_upper_levels(dirt, z, lfapp, precision)
+    if served is not None:
+        z, lfapp = served
+    else:
+        for j in range(dirt.nlevels - 1, -1, -1):
+            if sigma is not None:
+                z = tnormal_to_uniform(z, sigma)
+            z, dlf = _level_irt(dirt, dirt.fs[j], z, precision)
+            lfapp = lfapp + dlf
+            if sigma is not None:
+                # subtract the reference log-density at the new points
+                lfapp = lfapp - tnormal_logdensity_shift(z, sigma)
     if sigma is not None:
         z = tnormal_to_uniform(z, sigma)
     # Level 0 is always spline: the un-tempered density is not band-limited

@@ -35,7 +35,10 @@ __all__ = ["tt_irt_lin", "tt_irt_sqr", "tt_rt_sqr"]
 # memory allows — up to 2^18 samples per dispatch (intermediates are
 # O(block * r^2) ~ a few hundred MB), padded to powers of two so the
 # number of distinct compiled programs stays logarithmic.
-_MAX_BLOCK = 1 << 18
+# TTIRT_MAX_LOG2_BLOCK overrides the cap for perf experiments.
+import os as _os
+
+_MAX_BLOCK = 1 << int(_os.environ.get("TTIRT_MAX_LOG2_BLOCK", 18))
 _MIN_BLOCK = 1 << 10
 
 

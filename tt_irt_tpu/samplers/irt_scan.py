@@ -288,6 +288,106 @@ def _cdf_invert(mode, n, fk, xp, h, qp):
     return out, dlf, la, lb, i0, oh0, oh1
 
 
+import functools as _functools
+
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=32)
+def _tri_mats(nm1: int):
+    """0/1 triangular cumsum matrices (numpy: trace-safe constants).
+    L[j, i] = 1 for j <= i (prefix sums), U[j, i] = 1 for j >= i
+    (suffix sums).  A cumsum as ``dc @ L`` is numerically EQUIVALENT to
+    the sequential cumsum — unit multipliers make every product exact
+    and the MXU accumulates in f32 — while replacing the multi-pass
+    cumsum/flip chains with one matmul each (measured: the CDF stage of
+    the serve-shape step drops substantially, BENCH_NOTES r03)."""
+    idx = _np.arange(nm1)
+    lmat = (idx[:, None] <= idx[None, :]).astype(_np.float32)
+    umat = (idx[:, None] >= idx[None, :]).astype(_np.float32)
+    return lmat, umat
+
+
+def _cdf_invert_serve(mode, n, fk, xp, h32, qp):
+    """Two-sided CDF inversion with pure-f32 rows and f64 restricted to
+    the per-sample bracket scalars — the serve-speed variant of
+    ``_cdf_invert_fast`` without the double-single cumsums.
+
+    Why f32 rows are enough here: the TWO-SIDED scheme always sums the
+    CDF from the near side, so the absolute rounding floor of a bracket
+    value is ~eps_f32 * (mass on the near side of the bracket), and the
+    within-cell solve error stays at ~1e-6-7 of a cell width everywhere
+    — tails included (the deep-tail seeds are the WELL-conditioned case
+    for near-side summation).  The ds-cumsum path ('hid') keeps the
+    2^-48 row precision for parity-critical work; this path trades ~5x
+    row-precision slack (still under the 1e-6-scale bar, verified in
+    tests/test_precision.py) for removing the associative-scan op soup
+    that dominates the deep-serve step (~58% measured, BENCH_NOTES
+    r03).  Cumsums run as 0/1 triangular MXU matmuls (exact, see
+    _tri_mats).  Returns f64 scalars like _cdf_invert_fast."""
+    lmat, umat = _tri_mats(n - 1)
+    dc = 0.5 * (fk[..., :-1] + fk[..., 1:]) * h32[1:]      # (Mb, n-1)
+    total = jnp.sum(dc, axis=-1, keepdims=True)
+    bad = total <= 0.0
+    dc = jnp.where(bad, h32[1:], dc)
+    fk = jnp.where(bad, jnp.ones_like(fk), fk)
+    zero = jnp.zeros(fk.shape[:-1] + (1,), fk.dtype)
+    ck = jnp.concatenate(
+        [zero, jnp.matmul(dc, jnp.asarray(lmat), precision=_HI)],
+        axis=-1)                                           # (Mb, n)
+    cr = jnp.concatenate(
+        [jnp.matmul(dc, jnp.asarray(umat), precision=_HI), zero],
+        axis=-1)                                           # (Mb, n)
+    tot = ck[:, -1].astype(jnp.float64)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    xp32 = xp.astype(jnp.float32)
+    xplo = (xp - xp32.astype(jnp.float64)).astype(jnp.float32)
+    if mode == "rt":
+        qp32 = qp.astype(jnp.float32)
+        below = (xp32[None, :] < qp32[:, None]).astype(jnp.int32)
+        i0 = jnp.clip(jnp.sum(below, axis=1) - 1, 0, n - 2)
+        right = jnp.zeros(qp.shape, bool)
+        qt = ut = jnp.zeros_like(qp)
+    else:
+        right = qp > 0.5
+        qt = qp * tot
+        ut = (1.0 - qp) * tot
+        qt32 = qt.astype(jnp.float32)
+        ut32 = ut.astype(jnp.float32)
+        i0l = jnp.sum((ck < qt32[:, None]).astype(jnp.int32), axis=1) - 1
+        i0r = jnp.sum((cr > ut32[:, None]).astype(jnp.int32), axis=1) - 1
+        i0 = jnp.clip(jnp.where(right, i0r, i0l), 0, n - 2)
+    oh0 = (iota == i0[:, None]).astype(jnp.float32)        # (Mb, n)
+    oh1 = (iota == (i0 + 1)[:, None]).astype(jnp.float32)
+
+    def read64(rows, oh):
+        # one exact nonzero term per row: the f32->f64 cast is exact
+        return jnp.sum(rows * oh, axis=1).astype(jnp.float64)
+
+    c1 = read64(ck, oh0)
+    cr2 = read64(cr, oh1)
+    f1 = read64(fk, oh0)
+    f2 = read64(fk, oh1)
+    x1 = read64(xp32[None, :], oh0) + read64(xplo[None, :], oh0)
+    x2 = read64(xp32[None, :], oh1) + read64(xplo[None, :], oh1)
+    if mode == "rt":
+        xk = qp
+        yk = x2 - xk
+        aq = 0.5 * (f2 - f1) / (x2 - x1)
+        cl_ = aq * (xk - x1) ** 2 + f1 * (xk - x1) + c1
+        cr_ = tot - (f2 * yk - aq * yk * yk + cr2)
+        out = jnp.where(cl_ > 0.5 * tot, cr_, cl_) / tot
+    else:
+        xl_ = _invert_quadratic(f1, f2, c1, qt, x1, x2)
+        xr_ = -_invert_quadratic(f2, f1, cr2, ut, -x2, -x1)
+        xk = jnp.where(right, xr_, xl_)
+        out = xk
+    la = (x2 - xk) / (x2 - x1)
+    lb = (xk - x1) / (x2 - x1)
+    dlf = jnp.log(f1 * la + f2 * lb) - jnp.log(tot)
+    return out, dlf, la, lb, i0, oh0, oh1
+
+
 def _cdf_invert_fast(mode, n, fk, xp, h32, qp):
     """Two-sided CDF inversion with f32 + double-single row work and
     f64 restricted to per-sample (Mb,) vectors.
@@ -425,18 +525,21 @@ def _step(mode, n, cdf_dtype, carry, inp):
     return (phi, lf), out
 
 
-def _step_factor(mode, n, carry, inp):
-    """One dimension, factor form in f32 ('hi'): the conditional is the
-    positive square-sum fk = ||phi @ B_k(j)||^2 — cancellation-free, so
-    tail relative error sits at ~eps/sqrt(rho) instead of the Gram
-    form's eps/rho.  CDF work in f64."""
+def _step_factor(mode, n, cdfk, carry, inp):
+    """One dimension, factor form in f32 ('hi'/'hid'): the conditional
+    is the positive square-sum fk = ||phi @ B_k(j)||^2 —
+    cancellation-free, so tail relative error sits at ~eps/sqrt(rho)
+    instead of the Gram form's eps/rho.  CDF bracket scalars in f64;
+    rows per ``cdfk`` ('serve' = f32 matmul-cumsums, 'ds' =
+    double-single)."""
     phi, lf = carry                                        # (Mb, r) f32
     bmat, cmat, x, h, qk = inp             # (r, n*r), (n, r*r) unfolded
     mb, r = phi.shape
     v = jnp.matmul(phi, bmat, precision=_HI)               # (Mb, n*r)
     v = jnp.reshape(v, (mb, n, r))
     fk = jnp.sum(v * v, axis=2)                            # (Mb, n) f32
-    out, dlf, la, lb, _, oh0, oh1 = _cdf_invert_fast(
+    invert = _cdf_invert_serve if cdfk == "serve" else _cdf_invert_fast
+    out, dlf, la, lb, _, oh0, oh1 = invert(
         mode, n, fk, x, h.astype(jnp.float32), qk)
     lf = lf + dlf
     w = (la[:, None].astype(jnp.float32) * oh0
@@ -503,7 +606,7 @@ def _step_factor_fused(mode, n, carry, inp):
     phi, lf = carry                                        # (Mb, r) f32
     bmat, cmat, x, h, qk = inp
     fk = factor_conditional(phi, bmat)                     # (Mb, n) f32
-    out, dlf, la, lb, i0, _, _ = _cdf_invert_fast(
+    out, dlf, la, lb, i0, _, _ = _cdf_invert_serve(
         mode, n, fk, x, h.astype(jnp.float32), qk)
     lf = lf + dlf
     phi = condition_update(phi, i0, la.astype(jnp.float32),
@@ -533,12 +636,18 @@ def _step_gram_fused(mode, n, cdf_dtype, carry, inp):
 
 
 _PRECISIONS = {
-    # name -> (contraction dtype, CDF/inversion dtype, family)
-    "f64": ("float64", "float64", "gram"),
-    "f32": ("float32", "float32", "gram"),
-    "mixed": ("float32", "float64", "gram"),
-    "hi": ("float32", "float64", "factor"),
-    "ds": ("float32", "float64", "ds"),
+    # name -> (contraction dtype, CDF dtype, family, CDF kernel)
+    # CDF kernel: 'plain' = _cdf_invert in the CDF dtype; 'ds' =
+    # _cdf_invert_fast (double-single rows, ~2^-48); 'serve' =
+    # _cdf_invert_serve (f32 rows via triangular-matmul cumsums + f64
+    # bracket scalars — the deep-serve fast path, ~5x looser rows but
+    # still under the 1e-6-scale bar; see its docstring).
+    "f64": ("float64", "float64", "gram", "plain"),
+    "f32": ("float32", "float32", "gram", "plain"),
+    "mixed": ("float32", "float64", "gram", "ds"),
+    "hi": ("float32", "float64", "factor", "serve"),
+    "hid": ("float32", "float64", "factor", "ds"),
+    "ds": ("float32", "float64", "ds", "plain"),
 }
 
 
@@ -553,7 +662,7 @@ def _use_fused(mode, precision) -> bool:
     paths (ops/pallas_step.py; Mosaic has no f64)."""
     from ..ops.pallas_step import fused_enabled
 
-    cdt, _, fam = _PRECISIONS[precision]
+    cdt, _, fam, _cdfk = _PRECISIONS[precision]
     return (fused_enabled() and cdt == "float32"
             and mode in ("sqr", "rt") and fam in ("gram", "factor"))
 
@@ -561,7 +670,7 @@ def _use_fused(mode, precision) -> bool:
 def _prep(mode, cstack, xstack, precision, stable, fused=False):
     """Backward preparation; returns the pytree the forward pass scans
     over (everything except the per-block seeds)."""
-    cdt, pdt, _ = _PRECISIONS[precision]
+    cdt, pdt, _, _cdfk = _PRECISIONS[precision]
     family = _family(mode, precision)
     if family == "gram":
         cs = cstack.astype(cdt)
@@ -598,7 +707,7 @@ def _prep(mode, cstack, xstack, precision, stable, fused=False):
 
 def _fwd(mode, precision, prep, q, fused=False):
     """Forward pass over one sample block given prepared marginals."""
-    cdt, pdt, _ = _PRECISIONS[precision]
+    cdt, pdt, _, cdfk = _PRECISIONS[precision]
     family = _family(mode, precision)
     mb = q.shape[0]
     if family == "gram":
@@ -634,7 +743,7 @@ def _fwd(mode, precision, prep, q, fused=False):
         lf0 = jnp.zeros((mb,), jnp.float64)
         xsq = (bmat, cmat, xs, hs, q.astype(jnp.float64).T)
         step = partial(_step_factor_fused, mode, n) if fused \
-            else partial(_step_factor, mode, n)
+            else partial(_step_factor, mode, n, cdfk)
         (_, lf), outs = jax.lax.scan(step, (phi0, lf0), xsq)
         return outs.T, lf
     bh, bl, ch, cl, xs, hs = prep
@@ -670,22 +779,28 @@ def _irt_scan_one(mode, cstack, xstack, q, precision="f64",
     return _fwd(mode, precision, prep, q, fused)
 
 
-def irt_scan(mode, cstack, xstack, q, block, precision="f64"):
-    """Blocked scan-based transform, mode in {'sqr','lin','rt'}.
+@partial(jax.jit, static_argnames=("mode", "precision", "stable",
+                                   "fused"))
+def _prep_levels_jit(mode, cstacks, xstack, precision, stable,
+                     fused=False):
+    """Backward preparation vmapped over a stack of L same-shape TTs
+    (cstacks: (L, d, r, n, r), shared grids).
 
-    Preparation (the backward marginalization) runs ONCE; blocking the
-    forward pass is a *host-side* loop over equally-shaped slices
-    reusing one compiled block program.  (Wrapping the per-dim scan in
-    a `lax.map` over blocks — a nested scan — takes the TPU compiler
-    from seconds to effectively forever; a dispatch loop costs
-    microseconds per block and compiles once for any M.)"""
-    # QR-stabilized marginalization off-TPU (see _prepare_scan)
-    stable = jax.default_backend() != "tpu"
-    fused = _use_fused(mode, precision)
+    One fused program replaces L separate prep dispatches — the prep is
+    overhead-bound (many tiny r x r ops, f64-emulated for the factor
+    family: measured 137 ms/level at the lz40n33 shape, i.e. ~2 s of a
+    14-level deep serve), and vmapping widens every op by L for ~free.
+    Used by the deep-serve fast path (samplers/dirt.py)."""
+    return jax.vmap(
+        lambda cs: _prep(mode, cs, xstack, precision, stable, fused))(
+        cstacks)
+
+
+def fwd_blocked(mode, precision, prep, q, block, fused=False):
+    """Host-side block loop over one compiled forward program (see
+    irt_scan); ``prep`` is a prepared-marginal pytree from _prep."""
     m = q.shape[0]
     nb = _num_blocks(m, block)
-    prep = _prep_jit(mode, cstack, xstack, precision, stable,
-                     fused=fused)
     if nb <= 1:
         return _fwd_jit(mode, precision, prep, q, fused=fused)
     padded = _pad_rows(q, nb * block)
@@ -700,3 +815,20 @@ def irt_scan(mode, cstack, xstack, q, block, precision="f64"):
     xs = jnp.concatenate(xs_parts, axis=0)[:m]
     lf = jnp.concatenate(lf_parts, axis=0)[:m]
     return xs, lf
+
+
+def irt_scan(mode, cstack, xstack, q, block, precision="f64"):
+    """Blocked scan-based transform, mode in {'sqr','lin','rt'}.
+
+    Preparation (the backward marginalization) runs ONCE; blocking the
+    forward pass is a *host-side* loop over equally-shaped slices
+    reusing one compiled block program.  (Wrapping the per-dim scan in
+    a `lax.map` over blocks — a nested scan — takes the TPU compiler
+    from seconds to effectively forever; a dispatch loop costs
+    microseconds per block and compiles once for any M.)"""
+    # QR-stabilized marginalization off-TPU (see _prepare_scan)
+    stable = jax.default_backend() != "tpu"
+    fused = _use_fused(mode, precision)
+    prep = _prep_jit(mode, cstack, xstack, precision, stable,
+                     fused=fused)
+    return fwd_blocked(mode, precision, prep, q, block, fused)
