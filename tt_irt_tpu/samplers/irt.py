@@ -451,7 +451,7 @@ def tt_irt_sqr(grid, f: TT, q, block: int | None = None,
          D variables.
       use_scan: force/forbid the rank-padded scan fast path (default:
          automatic — used when grids are uniform and D == d).
-      precision: 'f64', 'f32', 'mixed', 'hi' or 'ds' (scan path only)
+      precision: 'f64', 'f32', 'mixed', 'hi', 'hid' or 'ds' (scan path only)
          — see irt_scan.py.  On TPU 'f32' meets the 1e-6 sample-parity
          bar at full speed; 'hi' adds factor-form (cancellation-free)
          conditionals for ill-conditioned TTs.

@@ -22,9 +22,14 @@ Precision modes (see _PRECISIONS):
   of the reference's QR trick, tt_irt_sqr.m:63-80), and the forward
   pass computes fk = ||phi @ (C_k L_k)||^2 — a positive sum of squares
   with NO cancellation, so the tail error improves to ~ eps/sqrt(rho).
+  CDF rows run in f32 via triangular-matmul cumsums with f64 bracket
+  scalars (_cdf_invert_serve) — the deep-serve default (measured N/ESS
+  on the 14-level Lorenz-40 stack equals the double-single variant).
   All matmuls run at Precision.HIGHEST (the TPU default for f32
   operands is bf16 passes, ~2e-3 relative — useless here).
-* 'ds'    — 'hi' plus double-single (compensated f32) carries for the
+* 'hid'   — 'hi' with double-single CDF rows (~2^-48,
+  _cdf_invert_fast): the belt-and-braces parity mode.
+* 'ds'    — 'hid' plus double-single (compensated f32) carries for the
   prefix interface phi and the core interpolation, removing the error
   accumulated across the d-dim conditioning chain (ops/doublesingle.py).
   The remaining floor is the f32 accumulation inside the MXU matmul.
@@ -74,6 +79,12 @@ import os as _os  # noqa: E402
 
 _HI = getattr(jax.lax.Precision,
               _os.environ.get("TTIRT_MXU_PRECISION", "HIGHEST"))
+
+# TTIRT_STREAMS=2 splits factor-family forward blocks into two
+# independent half-batch chains (VPU/MXU software pipelining
+# experiment).  Read once at import: jit caches key on static args, so
+# a runtime env flip would silently reuse the old program.
+_STREAMS = int(_os.environ.get("TTIRT_STREAMS", "1"))
 
 
 def can_use_scan(tt: TT, grids, dsample: int) -> bool:
@@ -739,11 +750,35 @@ def _fwd(mode, precision, prep, q, fused=False):
         bmat, cmat, xs, hs = prep
         d, r = bmat.shape[0], bmat.shape[1]
         n = cmat.shape[1]
+        streams = _STREAMS
+        step = partial(_step_factor_fused, mode, n) if fused \
+            else partial(_step_factor, mode, n, cdfk)
+        if streams == 2 and not fused and mb % 2 == 0:
+            # software pipelining: two independent half-batch chains in
+            # one scan body let the XLA scheduler overlap one stream's
+            # VPU-bound CDF stage with the other's MXU matmuls (a
+            # single chain strictly alternates matmul -> CDF -> matmul,
+            # idling each unit half the time).
+            h1 = mb // 2
+            phi0 = jnp.zeros((h1, r), jnp.float32).at[:, 0].set(1.0)
+            lf0 = jnp.zeros((h1,), jnp.float64)
+            qT = q.astype(jnp.float64).T                  # (d, mb)
+
+            def step2(carry, inp):
+                ca, cb = carry
+                bm, cm, xv, hv, qk = inp
+                ca2, outa = step(ca, (bm, cm, xv, hv, qk[:h1]))
+                cb2, outb = step(cb, (bm, cm, xv, hv, qk[h1:]))
+                return (ca2, cb2), (outa, outb)
+
+            ((_, lfa), (_, lfb)), (outa, outb) = jax.lax.scan(
+                step2, ((phi0, lf0), (phi0, lf0)),
+                (bmat, cmat, xs, hs, qT))
+            return (jnp.concatenate([outa.T, outb.T], axis=0),
+                    jnp.concatenate([lfa, lfb], axis=0))
         phi0 = jnp.zeros((mb, r), jnp.float32).at[:, 0].set(1.0)
         lf0 = jnp.zeros((mb,), jnp.float64)
         xsq = (bmat, cmat, xs, hs, q.astype(jnp.float64).T)
-        step = partial(_step_factor_fused, mode, n) if fused \
-            else partial(_step_factor, mode, n, cdfk)
         (_, lf), outs = jax.lax.scan(step, (phi0, lf0), xsq)
         return outs.T, lf
     bh, bl, ch, cl, xs, hs = prep
