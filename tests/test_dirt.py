@@ -217,3 +217,36 @@ def test_dirt_level_marginal_diagnostics(trained_dirt):
                                        rtol=1e-10)
         np.testing.assert_allclose(
             m2, full.sum(axis=tuple(range(2, f.d))), rtol=1e-10)
+
+
+def test_dirt_build_history(trained_dirt, tmp_path):
+    """The structured construction trace (the inspectable analog of the
+    reference's live per-level diagnostics, tt_dirt_approx.m:354-412):
+    one record per cross attempt with gate stats and the test chain's
+    marginal evolution; persisted by save_dirt/load_dirt; not a pytree
+    leaf (a jitted copy carries history=None)."""
+    h = trained_dirt.history
+    assert h is not None and len(h) >= len(BETA)
+    accepted = [r for r in h if r["accepted"]]
+    assert [r["level"] for r in accepted] == list(range(len(BETA)))
+    assert [r["beta"] for r in accepted] == list(BETA)
+    for r in h:
+        assert r["evals"] > 0 and len(r["ranks"]) == D + 1
+        assert r["tau"] is None or np.isfinite(r["tau"])
+        if "marginal_mean" in r:
+            assert len(r["marginal_mean"]) == D
+            assert all(np.isfinite(v) for v in r["marginal_mean"])
+            assert all(v > 0 for v in r["marginal_std"])
+    # levels >= 1 carry the gate stats
+    for r in accepted[1:]:
+        assert np.isfinite(r["hellinger"]) and 0 <= r["reject_rate"] <= 1
+    # checkpoint roundtrip preserves the trace verbatim
+    from tt_irt_tpu.utils.checkpoint import load_dirt, save_dirt
+
+    path = str(tmp_path / "hist_ck")
+    save_dirt(path, trained_dirt)
+    assert load_dirt(path).history == h
+    # pytree flatten drops it (host metadata, not traced state)
+    leaves, aux = trained_dirt.tree_flatten()
+    rebuilt = DIRT.tree_unflatten(aux, leaves)
+    assert rebuilt.history is None

@@ -141,6 +141,34 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
     rng = np.random.default_rng(opt.seed)
 
     evalcnt = np.zeros(nlvl + 1, dtype=np.int64)
+    # Structured construction trace (DIRT.history): one dict per cross
+    # attempt, including rejected ones — the post-hoc inspectable analog
+    # of the reference's live per-level chain/marginal diagnostics
+    # (tt_dirt_approx.m:354-412).
+    history: list = []
+
+    def _record(level, b_hi, attempt, accepted, res, *, tau=None,
+                hell=None, rej=None, ntest=0, z=None, shift):
+        rec = {
+            "level": int(level),
+            "beta": float(b_hi),
+            "attempt": int(attempt),
+            "accepted": bool(accepted),
+            "ranks": [int(r) for r in res.tt.ranks],
+            "evals": int(sum(res.evalcnt)),
+            "tau": None if tau is None else float(tau),
+            "hellinger": None if hell is None else float(hell),
+            "reject_rate": None if rej is None else float(rej),
+            "ntest": int(ntest),
+            "lfshift": float(shift),
+        }
+        if z is not None:
+            # marginal evolution of the level test chain (plotdiag's
+            # per-level marginal trace, tt_dirt_approx.m:354-412)
+            zs = np.asarray(z)
+            rec["marginal_mean"] = [float(v) for v in zs.mean(axis=0)]
+            rec["marginal_std"] = [float(v) for v in zs.std(axis=0)]
+        history.append(rec)
 
     def cross_grids(grids):
         if boundary:
@@ -197,22 +225,26 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
                     reference=reference, interpolation=interpolation,
                     evalcnt=evalcnt)
         lfshift = 0.0
+        tau0 = z0 = None
+        ntest0 = 0
         if opt.testsamples > 0:
-            ntest = int(min(max(sum(res.evalcnt), 2), opt.testsamples))
+            ntest0 = int(min(max(sum(res.evalcnt), 2), opt.testsamples))
             key, sub = jax.random.split(key)
-            y = randref(reference, sub, (ntest, d))
-            z, lfapp, lfex = tt_dirt_sample(
+            y = randref(reference, sub, (ntest0, d))
+            z0, lfapp, lfex = tt_dirt_sample(
                 dirt, y, lambda x: logpostfun(x, 0.0, float(beta[0])))
-            tau = float(essinv(lfex, lfapp))
+            tau0 = float(essinv(lfex, lfapp))
             if opt.verb:
-                print(f"[dirt] level 0 beta={beta[0]:g}: N/ESS = {tau:g}")
-            evalcnt[0] += ntest
+                print(f"[dirt] level 0 beta={beta[0]:g}: N/ESS = {tau0:g}")
+            evalcnt[0] += ntest0
             lfshift = float(jnp.max(lfex))
             if bool(irtdenom[0]):
                 lfshift -= float(jnp.max(lfapp))
+        _record(0, beta[0], 0, True, res, tau=tau0, ntest=ntest0,
+                z=z0, shift=lfshift)
         dirt = DIRT(f0, [], x0, [], beta[:1], lfshift,
                     reference=reference, interpolation=interpolation,
-                    evalcnt=evalcnt)
+                    evalcnt=evalcnt, history=history)
         ilvl = 1
         fprev_rank = int(np.max(np.atleast_1d(y0v[min(1, nlvl)])))
         fprev = None
@@ -252,6 +284,8 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
         lfshift = float(np.asarray(dirt.lfshift))
         fprev = dirt.fprev
         fprev_rank = int(np.max(np.atleast_1d(y0v[min(1, nlvl)])))
+        if getattr(dirt, "history", None):
+            history.extend(dirt.history)  # resume extends the trace
 
     if nlvl == 0:
         return dirt
@@ -382,8 +416,11 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
                       f"Hellinger = {hl:.3e}, "
                       f"rejects = {100.0 * float(nrej) / ntest:.1f}%")
             evalcnt[ilvl] += ntest
-            if tau > opt.recompute:
-                accept = False
+            accept = tau <= opt.recompute
+            _record(ilvl, b_hi, recompute_count, accept, res, tau=tau,
+                    hell=hl, rej=float(nrej) / ntest, ntest=ntest, z=z,
+                    shift=lfshift)
+            if not accept:
                 recompute_count += 1
                 if recompute_count > 4:
                     raise RuntimeError(
@@ -398,6 +435,8 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
                     else:
                         lfshift = float(jnp.max(lfex)) * \
                             (float(beta[ilvl + 1]) - b_hi) / b_hi
+        else:
+            _record(ilvl, b_hi, 0, True, res, shift=lfshift)
         if not accept:
             fs = fs[:ilvl - 1]
             continue
@@ -408,7 +447,7 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
         fprev = tt_round(f_new, 0.0, rmax=fprev_rank)
         dirt = DIRT(dirt.f0, fs, x0, xg, beta[:ilvl + 1], lfshift,
                     reference=reference, interpolation=interpolation,
-                    evalcnt=evalcnt, fprev=fprev)
+                    evalcnt=evalcnt, fprev=fprev, history=history)
         if opt.checkpoint_path:
             from ..utils.checkpoint import save_dirt
 

@@ -51,11 +51,12 @@ class DIRT:
     ladder.  This is the checkpoint format: a plain pytree of arrays."""
 
     __slots__ = ("f0", "fs", "x0", "x", "beta", "lfshift", "reference",
-                 "interpolation", "evalcnt", "fprev")
+                 "interpolation", "evalcnt", "fprev", "history")
 
     def __init__(self, f0: TT, fs: Sequence[TT], x0, x, beta,
                  lfshift=0.0, reference: str = "uniform",
-                 interpolation: str = "spline", evalcnt=None, fprev=None):
+                 interpolation: str = "spline", evalcnt=None, fprev=None,
+                 history=None):
         self.f0 = f0
         self.fs = tuple(fs)
         self.x0 = [jnp.asarray(g).reshape(-1) for g in x0]
@@ -66,6 +67,14 @@ class DIRT:
         self.interpolation = interpolation
         self.evalcnt = evalcnt if evalcnt is not None else np.zeros(0, np.int64)
         self.fprev = fprev
+        # Structured construction trace: one record (plain dict of
+        # floats/lists) per cross attempt — the inspectable analog of
+        # the reference's live level diagnostics
+        # (tt_dirt_approx.m:354-412).  Host-side metadata only: NOT a
+        # pytree leaf and not carried through jit boundaries (a traced
+        # copy of the stack has history=None); save_dirt/load_dirt
+        # persist it in the JSON header.
+        self.history = history
 
     @property
     def nlevels(self) -> int:

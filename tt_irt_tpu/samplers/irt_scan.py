@@ -625,6 +625,61 @@ def _step_factor_fused(mode, n, carry, inp):
     return (phi, lf), out
 
 
+def _serve_solve(mode, out9, i0, qp):
+    """f64 epilogue of the whole-dim CDF kernel
+    (ops/pallas_step.cdf_bracket_factor): the within-cell quadratic
+    inversion on (Mb,) vectors only — the same tail as
+    _cdf_invert_serve after its one-hot readout."""
+    f64 = jnp.float64
+    c1 = out9[:, 0].astype(f64)
+    cr2 = out9[:, 1].astype(f64)
+    f1 = out9[:, 2].astype(f64)
+    f2 = out9[:, 3].astype(f64)
+    x1 = out9[:, 4].astype(f64) + out9[:, 5].astype(f64)
+    x2 = out9[:, 6].astype(f64) + out9[:, 7].astype(f64)
+    tot = out9[:, 8].astype(f64)
+    if mode == "rt":
+        xk = qp
+        yk = x2 - xk
+        aq = 0.5 * (f2 - f1) / (x2 - x1)
+        cl_ = aq * (xk - x1) ** 2 + f1 * (xk - x1) + c1
+        cr_ = tot - (f2 * yk - aq * yk * yk + cr2)
+        out = jnp.where(cl_ > 0.5 * tot, cr_, cl_) / tot
+    else:
+        qt = qp * tot
+        ut = (1.0 - qp) * tot
+        right = qp > 0.5
+        xl_ = _invert_quadratic(f1, f2, c1, qt, x1, x2)
+        xr_ = -_invert_quadratic(f2, f1, cr2, ut, -x2, -x1)
+        xk = jnp.where(right, xr_, xl_)
+        out = xk
+    la = (x2 - xk) / (x2 - x1)
+    lb = (xk - x1) / (x2 - x1)
+    dlf = jnp.log(f1 * la + f2 * lb) - jnp.log(tot)
+    return out, dlf, la, lb
+
+
+def _step_factor_fused2(mode, n, carry, inp):
+    """One dimension with the ENTIRE f32 row space — conditional
+    product, two-sided trapezoid CDF, bracket locate, one-hot readout —
+    in a single Pallas kernel (cdf_bracket_factor), so no (Mb, n*r) or
+    (Mb, n) array reaches HBM; the f64 work runs on (Mb,) vectors in
+    XLA (_serve_solve) and the prefix update is the fused
+    condition_update kernel.  TTIRT_FUSED_STEP=2."""
+    from ..ops.pallas_step import cdf_bracket_factor, condition_update
+
+    phi, lf = carry                                        # (Mb, r) f32
+    bmat, cmat, dmat, hrow, xg, qk = inp
+    out9, i0 = cdf_bracket_factor(
+        phi, qk.astype(jnp.float32), bmat, dmat, hrow, xg,
+        mode="rt" if mode == "rt" else "irt")
+    out, dlf, la, lb = _serve_solve(mode, out9, i0, qk)
+    lf = lf + dlf
+    phi = condition_update(phi, i0, la.astype(jnp.float32),
+                           lb.astype(jnp.float32), cmat)
+    return (phi, lf), out
+
+
 def _step_gram_fused(mode, n, cdf_dtype, carry, inp):
     """_step (Gram form, f32/mixed) with fused Pallas contractions."""
     from ..ops.pallas_step import condition_update, gram_conditional
@@ -668,14 +723,19 @@ def _family(mode, precision):
     return "gram" if mode == "lin" else fam
 
 
-def _use_fused(mode, precision) -> bool:
-    """Fused Pallas per-dim kernels apply to the f32-contraction sqr/rt
-    paths (ops/pallas_step.py; Mosaic has no f64)."""
-    from ..ops.pallas_step import fused_enabled
+def _use_fused(mode, precision) -> int:
+    """Fused Pallas per-dim kernel level (0 = XLA path): applies to the
+    f32-contraction sqr/rt paths (ops/pallas_step.py; Mosaic has no
+    f64).  Level 2 (whole-dim CDF kernel) exists for the factor family
+    only; gram clamps to level 1."""
+    from ..ops.pallas_step import fused_level
 
     cdt, _, fam, _cdfk = _PRECISIONS[precision]
-    return (fused_enabled() and cdt == "float32"
-            and mode in ("sqr", "rt") and fam in ("gram", "factor"))
+    lvl = fused_level()
+    if not (lvl and cdt == "float32" and mode in ("sqr", "rt")
+            and fam in ("gram", "factor")):
+        return 0
+    return min(lvl, 2 if fam == "factor" else 1)
 
 
 def _prep(mode, cstack, xstack, precision, stable, fused=False):
@@ -751,6 +811,23 @@ def _fwd(mode, precision, prep, q, fused=False):
         d, r = bmat.shape[0], bmat.shape[1]
         n = cmat.shape[1]
         streams = _STREAMS
+        if fused == 2:
+            # whole-dim CDF kernel: per-dim trapezoid/grid operands as
+            # device stacks the scan can slice (cdf_bracket_factor)
+            x32 = xs.astype(jnp.float32)
+            xlo = (xs - x32.astype(jnp.float64)).astype(jnp.float32)
+            xgs = jnp.stack([x32, xlo], axis=1)            # (d, 2, n)
+            e0 = _np.eye(n, n - 1, dtype=_np.float32)
+            e1 = _np.eye(n, n - 1, k=-1, dtype=_np.float32)
+            hcol = hs[:, None, 1:].astype(jnp.float32)     # (d, 1, n-1)
+            dstack = 0.5 * (e0 + e1)[None] * hcol          # (d, n, n-1)
+            phi0 = jnp.zeros((mb, r), jnp.float32).at[:, 0].set(1.0)
+            lf0 = jnp.zeros((mb,), jnp.float64)
+            xsq = (bmat, cmat, dstack, hcol, xgs,
+                   q.astype(jnp.float64).T)
+            (_, lf), outs = jax.lax.scan(
+                partial(_step_factor_fused2, mode, n), (phi0, lf0), xsq)
+            return outs.T, lf
         step = partial(_step_factor_fused, mode, n) if fused \
             else partial(_step_factor, mode, n, cdfk)
         if streams == 2 and not fused and mb % 2 == 0:

@@ -56,6 +56,10 @@ def save_dirt(path: str, dirt: DIRT) -> None:
         "n_x": len(dirt.x),
         "fprev_dims": fprev_dims,
     }
+    if getattr(dirt, "history", None):
+        # the structured construction trace (DIRT.history) is plain
+        # JSON-serializable dicts by construction (dirt_build._record)
+        header["history"] = dirt.history
     np.savez_compressed(path + ".npz", **arrays)
     with open(path + ".json", "w") as fh:
         json.dump(header, fh)
@@ -81,4 +85,5 @@ def load_dirt(path: str) -> DIRT:
     return DIRT(f0, fs, x0, x, jnp.asarray(data["beta"]),
                 header["lfshift"], reference=header["reference"],
                 interpolation=header["interpolation"],
-                evalcnt=np.asarray(data["evalcnt"]), fprev=fprev)
+                evalcnt=np.asarray(data["evalcnt"]), fprev=fprev,
+                history=header.get("history"))
