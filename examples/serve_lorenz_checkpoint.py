@@ -7,13 +7,16 @@ checkpoint here and push large sample batches through it on the TPU.
 
 Serving precision ('auto' default, samplers/dirt.py serve_precision):
 'f32' matches the CPU f64 reference to ~1e-6 *per level* at full
-speed, but that tail error compounds across composed levels — at the
-d=40 / 14-level stack f32 measures N/ESS 4.49 at 2^20 vs 1.63 for
-'hi' (BENCH_NOTES "serve precision policy") — so deep stacks default
-to 'hi' (factor-form conditionals, f64 CDF scalars).  Reduced
-precision is statistically exact for debiasing regardless: the
-returned log-density is the exact Jacobian of the realized transport;
-only raw-sample quality differs.
+speed; that tail error compounds across the *dimension* chain and
+becomes visible to the N/ESS estimator only at d=40 (measured on the
+shipped d=10/20/40 checkpoints at 2^20 — f32 N/ESS 1.093 / 1.243 /
+1.77 vs 'hi' 1.093 / 1.243 / 1.57; BENCH_NOTES "serve precision
+policy"), where the serve-CDF 'hi' path is also no slower — so
+d>=40 defaults to 'hi' (factor-form conditionals, f64 CDF bracket
+scalars) and shallower problems to 'f32'.  Reduced precision is
+statistically exact for debiasing regardless: the returned
+log-density is the exact Jacobian of the realized transport; only
+raw-sample quality differs.
 
 Reference workflow: test_lorenz.m builds and samples in one process;
 the split is the TPU-native redesign (construction is latency-bound

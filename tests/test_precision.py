@@ -106,6 +106,41 @@ def test_reduced_precision_parity_d40_stress(precision, xtol, ltol,
     assert dl < ltol, f"{precision}: logdens dev {dl:.3g} >= {ltol}"
 
 
+def test_hi_pack_opt_in(monkeypatch):
+    """The K-packed 'hi' matmuls (irt_scan._pack6_rhs) emulate the
+    six bf16 split products of Precision.HIGHEST in one MXU dot
+    (~2.5x step speedup on v5e) — but the measured stress-TT parity
+    shows the software re-split through materialized bf16 operands is
+    NOT equivalent to the chip's HIGHEST pipeline (1.3e-3 vs 6.8e-8
+    max sample dev on TPU), so it must remain strictly opt-in.  This
+    test (a) asserts the default is unpacked, and (b) force-runs the
+    packed program to pin its benign-workload envelope."""
+    from tt_irt_tpu.samplers import irt_scan as isc
+    assert isc._hi_pack() is False
+
+    # benign TT + uniform seeds: the packed path's stated envelope
+    # (the stress-TT cancellation case is why it is not a default)
+    tt, grids = stress_tt(d=12, n=17, rank=5, seed=9)
+    rngl = np.random.default_rng(13)
+    q = jnp.asarray(rngl.uniform(size=(1024, 12)))
+    xr, lr = ti.tt_irt_sqr(grids, tt, q, precision="f64")
+    x0, _ = ti.tt_irt_sqr(grids, tt, q, precision="hi")
+    assert float(jnp.max(jnp.abs(x0 - xr))) < 1e-5
+
+    monkeypatch.setattr(isc, "_HI_PACK_ENV", "1")
+    assert isc._hi_pack() is True
+    jax.clear_caches()   # _prep programs are cached per static args
+    try:
+        x1, l1 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
+        # six-split products carry ~2^-24 relative error per term:
+        # benign-case sample parity stays at the 1e-5 regression bar
+        assert float(jnp.max(jnp.abs(x1 - xr))) < 1e-5
+        assert float(jnp.max(jnp.abs(l1 - lr))) < 1e-3
+    finally:
+        # drop the packed traces so later tests re-trace unpacked
+        jax.clear_caches()
+
+
 def test_rt_reduced_precision_parity():
     """Forward Rosenblatt ('rt' mode) through the same fast path."""
     tt, grids = stress_tt(d=12, n=17, rank=5)

@@ -30,19 +30,26 @@ __all__ = ["DIRT", "tt_dirt_sample", "tt_dirt_inverse",
 
 
 def serve_precision(dirt: "DIRT") -> str:
-    """Depth-aware default serving precision.
+    """Dimension-aware default serving precision.
 
-    The per-level tail error of the pure-f32 path (~1e-6, BENCH_NOTES)
-    compounds across composed levels and becomes visible to the
-    chi^2-divergence (N/ESS) estimator at large sample counts: at the
-    d=40 / 14-level stack f32 measures N/ESS 4.49 at 2^20 vs 1.63 for
-    'hi' (identical debiased estimates either way — MH/IS correction is
-    exact — but raw-sample quality degrades).  Policy: 'f32' for
-    shallow stacks where its throughput advantage is free, 'hi' beyond
-    4 composed levels where the compounded tail error starts to bite.
-    Shapes/thresholds measured in BENCH_NOTES "serve precision policy"
-    (round 3)."""
-    return "hi" if dirt.nlevels > 4 else "f32"
+    Measured depth/width sweep on the shipped Lorenz checkpoints
+    (v5e, 2^20 samples, BENCH_NOTES "serve precision policy", round 3):
+
+    | stack              | f32 N/ESS | 'hi' N/ESS | f32 / 'hi' serve |
+    | d=10, 13 levels    | 1.093     | 1.093      | 4.8 s / 5.1 s    |
+    | d=20, 13 levels    | 1.243     | 1.243      | 8.3 s / 17.8 s   |
+    | d=40, 14 levels    | 1.77      | 1.57       | ~21 s / ~21 s    |
+
+    The f32 per-level tail error (~1e-6) compounds across the
+    *dimension* chain, not the level count: raw-sample quality is
+    indistinguishable through d=20 even at 13 composed levels, and
+    diverges mildly at d=40 — where the factor-form 'hi' step is also
+    no slower (the serve-CDF avoids the Gram outer-product
+    materialization).  Debiased estimates are exact in every mode (the
+    returned log-density is the exact Jacobian of the realized map).
+    Policy: 'f32' below d=40; 'hi' at d>=40 where it is better on both
+    axes."""
+    return "hi" if dirt.d >= 40 else "f32"
 
 
 @jax.tree_util.register_pytree_node_class

@@ -86,6 +86,70 @@ _HI = getattr(jax.lax.Precision,
 # a runtime env flip would silently reuse the old program.
 _STREAMS = int(_os.environ.get("TTIRT_STREAMS", "1"))
 
+# TTIRT_HI_PACK=1 opts in to the K-packed factor matmuls (below);
+# default OFF.  The pack emulates Precision.HIGHEST's six bf16 split
+# products in ONE bf16 dot (3x the MXU K-utilization at the r=23-33
+# production contraction depths, ~2.5x step speedup measured on v5e),
+# but the measured d=40 stress-TT parity shows it is NOT equivalent to
+# the hardware HIGHEST path: packed 1.3e-3 max sample dev vs 6.8e-8
+# for HIGHEST on the same chip (and 1.0e-7 vs 7.4e-8 on CPU, where
+# bf16 dots upcast to native f32 FMA).  The v5e's HIGHEST pipeline
+# evidently carries the split residuals at better-than-bf16 precision
+# internally; a software re-split through materialized bf16 operands
+# caps each product at ~2^-24 relative, which cancellation in
+# v = phi @ B amplifies by ~4 orders on narrow-conditional stress
+# inputs.  That is exactly the robustness 'hi' mode exists for, so the
+# pack stays an explicit throughput experiment, never a default
+# (measurement record: BENCH_NOTES round 3, "hi-pack").
+_HI_PACK_ENV = _os.environ.get("TTIRT_HI_PACK", "")
+
+
+def _hi_pack() -> bool:
+    return _HI_PACK_ENV not in ("", "0", "false")
+
+
+def _bf16_parts3(x):
+    """Split f32 into three bf16 parts with x = h + m + l to ~2^-24
+    (8 mantissa bits per part)."""
+    x = x.astype(jnp.float32)
+    h = x.astype(jnp.bfloat16)
+    r1 = x - h.astype(jnp.float32)
+    m = r1.astype(jnp.bfloat16)
+    l = (r1 - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, m, l
+
+
+def _pack6_lhs(a):
+    """(..., K) -> (..., 6K) bf16: the left operand of the K-packed
+    HIGHEST-equivalent matmul (see _pack6_rhs)."""
+    ah, am, al = _bf16_parts3(a)
+    return jnp.concatenate([ah, ah, am, am, ah, al], axis=-1)
+
+
+def _pack6_rhs(b):
+    """(..., K, N) -> (..., 6K, N) bf16 such that
+
+        dot(_pack6_lhs(a), _pack6_rhs(b)) = sum of the six significant
+        bf16 split products  ah bh + ah bm + am bh + am bm + ah bl
+        + al bh  (each term representable to ~2^-24 relative),
+        accumulated in f32 by ONE MXU dot.
+
+    Why: an f32 HIGHEST matmul runs as multiple MXU passes; at the IRT
+    hot-loop shapes the contraction depth is K = r or n (23-33), so
+    each pass uses <= 26% of the systolic array's K=128 dimension.
+    Packing six split products along K instead (K -> 6K = 138-198,
+    1-2 MXU tiles) performs the analogous MACs at ~3x the K
+    utilization — measured ~2.5x step speedup and 1.4e-7 relative fk
+    accuracy on benign operands at the d=40/n=33/r=23 production
+    shape.  CAVEAT (why this is opt-in, see _hi_pack): on
+    cancellation-prone stress inputs the materialized-bf16 re-split
+    loses ~4 orders vs the chip's own HIGHEST pipeline (1.3e-3 vs
+    6.8e-8 max sample dev on the d=40 stress TT) — the hardware path
+    evidently keeps split residuals at better-than-bf16 internal
+    precision (BENCH_NOTES round 3, 'hi-pack')."""
+    bh, bm, bl = _bf16_parts3(b)
+    return jnp.concatenate([bh, bm, bh, bm, bl, bh], axis=-2)
+
 
 def can_use_scan(tt: TT, grids, dsample: int) -> bool:
     n0 = grids[0].shape[0]
@@ -188,13 +252,30 @@ def _prepare_scan_factor(cstack, xstack):
     w2 = _trapz_w2(hstack)
     eye = jnp.eye(r, dtype=jnp.float64)
 
+    def chol_jittered(gram):
+        # The gram is PSD by construction (a sum of weighted outer
+        # products), but accumulated rounding can push trailing
+        # eigenvalues of a rank-deficient gram below -1e-14*diag and
+        # NaN the factorization (observed with degenerate rank-1 cores
+        # padded to full rank).  Tiered jitter: try 1e-14 (exact-level,
+        # covers padded zero lanes), escalate to 1e-10 / 1e-6 only when
+        # the smaller factorization is non-finite — perturbing only
+        # eigendirections that carry <=1e-6 of the mass.  eigh-free:
+        # the axon TPU backend cannot compile eigh (BENCH_NOTES).
+        dmax = jnp.max(jnp.diagonal(gram))
+        ls = [jnp.linalg.cholesky(gram + (e * dmax + 1e-290) * eye)
+              for e in (1e-14, 1e-10, 1e-6)]
+        out = ls[-1]
+        for cand in ls[-2::-1]:
+            out = jnp.where(jnp.all(jnp.isfinite(cand)), cand, out)
+        return out
+
     def body(gram, inp):
         core, w2k = inp                                    # (r,n,r), (n,)
         # padded lanes carry exact-zero diagonal: jitter keeps the
         # Cholesky finite there; the factor columns stay exactly zero
         # because the padded core columns are zero.
-        jit_eps = 1e-14 * jnp.max(jnp.diagonal(gram)) + 1e-290
-        lfac = jnp.linalg.cholesky(gram + jit_eps * eye)
+        lfac = chol_jittered(gram)
         b = jnp.einsum("anc,cd->and", core, lfac)          # (r, n, r)
         gnew = jnp.einsum("anc,bnc,n->ab", b, b, w2k)
         gnew = 0.5 * (gnew + gnew.T)
@@ -536,17 +617,23 @@ def _step(mode, n, cdf_dtype, carry, inp):
     return (phi, lf), out
 
 
-def _step_factor(mode, n, cdfk, carry, inp):
+def _step_factor(mode, n, cdfk, packed, carry, inp):
     """One dimension, factor form in f32 ('hi'/'hid'): the conditional
     is the positive square-sum fk = ||phi @ B_k(j)||^2 —
     cancellation-free, so tail relative error sits at ~eps/sqrt(rho)
     instead of the Gram form's eps/rho.  CDF bracket scalars in f64;
     rows per ``cdfk`` ('serve' = f32 matmul-cumsums, 'ds' =
-    double-single)."""
+    double-single).  ``packed``: operands arrive K-packed
+    (_pack6_rhs) and both big matmuls run as single K-packed bf16
+    dots at HIGHEST-class accuracy."""
     phi, lf = carry                                        # (Mb, r) f32
     bmat, cmat, x, h, qk = inp             # (r, n*r), (n, r*r) unfolded
     mb, r = phi.shape
-    v = jnp.matmul(phi, bmat, precision=_HI)               # (Mb, n*r)
+    if packed:
+        v = jnp.dot(_pack6_lhs(phi), bmat,
+                    preferred_element_type=jnp.float32)    # (Mb, n*r)
+    else:
+        v = jnp.matmul(phi, bmat, precision=_HI)           # (Mb, n*r)
     v = jnp.reshape(v, (mb, n, r))
     fk = jnp.sum(v * v, axis=2)                            # (Mb, n) f32
     invert = _cdf_invert_serve if cdfk == "serve" else _cdf_invert_fast
@@ -555,7 +642,12 @@ def _step_factor(mode, n, cdfk, carry, inp):
     lf = lf + dlf
     w = (la[:, None].astype(jnp.float32) * oh0
          + lb[:, None].astype(jnp.float32) * oh1)
-    b = jnp.reshape(jnp.matmul(w, cmat, precision=_HI), (mb, r, r))
+    if packed:
+        b = jnp.reshape(jnp.dot(_pack6_lhs(w), cmat,
+                                preferred_element_type=jnp.float32),
+                        (mb, r, r))
+    else:
+        b = jnp.reshape(jnp.matmul(w, cmat, precision=_HI), (mb, r, r))
     phi = jnp.einsum("mi,mij->mj", phi, b, precision=_HI)
     scale = jnp.maximum(jnp.max(jnp.abs(phi), axis=1, keepdims=True),
                         jnp.asarray(1e-30, phi.dtype))
@@ -769,8 +861,13 @@ def _prep(mode, cstack, xstack, precision, stable, fused=False):
     xs = xstack.astype(jnp.float64)
     hs = hstack.astype(jnp.float64)
     if family == "factor":
-        return (bmat.astype(jnp.float32), cmat.astype(jnp.float32),
-                xs, hs)
+        bmat32 = bmat.astype(jnp.float32)
+        cmat32 = cmat.astype(jnp.float32)
+        if _hi_pack() and not fused:
+            # K-packed operands: ONE bf16 dot per big matmul at
+            # HIGHEST-class accuracy (_pack6_rhs docstring)
+            return (_pack6_rhs(bmat32), _pack6_rhs(cmat32), xs, hs)
+        return (bmat32, cmat32, xs, hs)
     bh, bl = ds_from_f64(bmat)
     ch, cl = ds_from_f64(cmat)
     return (bh, bl, ch, cl, xs, hs)
@@ -808,8 +905,10 @@ def _fwd(mode, precision, prep, q, fused=False):
         return outs.T, lf
     if family == "factor":
         bmat, cmat, xs, hs = prep
-        d, r = bmat.shape[0], bmat.shape[1]
-        n = cmat.shape[1]
+        packed = bmat.dtype == jnp.bfloat16     # K-packed prep (hi-pack)
+        d = bmat.shape[0]
+        r = bmat.shape[1] // 6 if packed else bmat.shape[1]
+        n = cmat.shape[1] // 6 if packed else cmat.shape[1]
         streams = _STREAMS
         if fused == 2:
             # whole-dim CDF kernel: per-dim trapezoid/grid operands as
@@ -829,7 +928,7 @@ def _fwd(mode, precision, prep, q, fused=False):
                 partial(_step_factor_fused2, mode, n), (phi0, lf0), xsq)
             return outs.T, lf
         step = partial(_step_factor_fused, mode, n) if fused \
-            else partial(_step_factor, mode, n, cdfk)
+            else partial(_step_factor, mode, n, cdfk, packed)
         if streams == 2 and not fused and mb % 2 == 0:
             # software pipelining: two independent half-batch chains in
             # one scan body let the XLA scheduler overlap one stream's
