@@ -106,34 +106,48 @@ def test_reduced_precision_parity_d40_stress(precision, xtol, ltol,
     assert dl < ltol, f"{precision}: logdens dev {dl:.3g} >= {ltol}"
 
 
-def test_hi_pack_opt_in(monkeypatch):
-    """The K-packed 'hi' matmuls (irt_scan._pack6_rhs) emulate the
-    six bf16 split products of Precision.HIGHEST in one MXU dot
-    (~2.5x step speedup on v5e) — but the measured stress-TT parity
-    shows the software re-split through materialized bf16 operands is
-    NOT equivalent to the chip's HIGHEST pipeline (1.3e-3 vs 6.8e-8
-    max sample dev on TPU), so it must remain strictly opt-in.  This
-    test (a) asserts the default is unpacked, and (b) force-runs the
-    packed program to pin its benign-workload envelope."""
+def test_hi_pack_policy_and_parity(monkeypatch):
+    """The K-packed 'hi' matmuls (irt_scan._pack9_rhs) emulate the
+    bf16 split products of Precision.HIGHEST in one MXU dot — the
+    TPU default for precision='hi' (measured v5e: 1.5x at stress
+    parity 1.11e-7 vs 6.84e-8 unpacked).  On CPU the default is
+    unpacked (native f32 FMA is faster and more accurate).  The pack
+    is only sound with the integer bit-split (_bf16_split_f32): the
+    TPU compiler's bf16 propagation pass zeroes a cast-based split's
+    residuals, silently collapsing it to single-pass bf16.  This test
+    (a) asserts the CPU default, (b) asserts the bit-split residuals
+    are nonzero and reconstruct exactly under jit (the collapse
+    regression), and (c) force-runs the packed program on CPU."""
     from tt_irt_tpu.samplers import irt_scan as isc
-    assert isc._hi_pack() is False
+    assert jax.default_backend() == "cpu"
+    assert isc._hi_pack() == 0
 
-    # benign TT + uniform seeds: the packed path's stated envelope
-    # (the stress-TT cancellation case is why it is not a default)
-    tt, grids = stress_tt(d=12, n=17, rank=5, seed=9)
+    # (b) the collapse regression: residual parts survive jit
     rngl = np.random.default_rng(13)
+    xv = jnp.asarray(rngl.standard_normal((64, 32)).astype(np.float32))
+
+    @jax.jit
+    def parts_stats(x):
+        h, m_, l = isc._bf16_parts3(x)
+        recon = (h.astype(jnp.float32) + m_.astype(jnp.float32)
+                 + l.astype(jnp.float32))
+        return (jnp.max(jnp.abs(m_.astype(jnp.float32))),
+                jnp.max(jnp.abs(recon - x)))
+    mmax, rerr = parts_stats(xv)
+    assert float(mmax) > 0.0, "bf16 split residuals were zeroed"
+    assert float(rerr) == 0.0, "3-way bf16 bit-split must be exact"
+
+    tt, grids = stress_tt(d=12, n=17, rank=5, seed=9)
     q = jnp.asarray(rngl.uniform(size=(1024, 12)))
     xr, lr = ti.tt_irt_sqr(grids, tt, q, precision="f64")
     x0, _ = ti.tt_irt_sqr(grids, tt, q, precision="hi")
     assert float(jnp.max(jnp.abs(x0 - xr))) < 1e-5
 
-    monkeypatch.setattr(isc, "_HI_PACK_ENV", "1")
-    assert isc._hi_pack() is True
+    monkeypatch.setattr(isc, "_HI_PACK_ENV", "9")
+    assert isc._hi_pack() == 9
     jax.clear_caches()   # _prep programs are cached per static args
     try:
         x1, l1 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
-        # six-split products carry ~2^-24 relative error per term:
-        # benign-case sample parity stays at the 1e-5 regression bar
         assert float(jnp.max(jnp.abs(x1 - xr))) < 1e-5
         assert float(jnp.max(jnp.abs(l1 - lr))) < 1e-3
     finally:

@@ -86,37 +86,79 @@ _HI = getattr(jax.lax.Precision,
 # a runtime env flip would silently reuse the old program.
 _STREAMS = int(_os.environ.get("TTIRT_STREAMS", "1"))
 
-# TTIRT_HI_PACK=1 opts in to the K-packed factor matmuls (below);
-# default OFF.  The pack emulates Precision.HIGHEST's six bf16 split
-# products in ONE bf16 dot (3x the MXU K-utilization at the r=23-33
-# production contraction depths, ~2.5x step speedup measured on v5e),
-# but the measured d=40 stress-TT parity shows it is NOT equivalent to
-# the hardware HIGHEST path: packed 1.3e-3 max sample dev vs 6.8e-8
-# for HIGHEST on the same chip (and 1.0e-7 vs 7.4e-8 on CPU, where
-# bf16 dots upcast to native f32 FMA).  The v5e's HIGHEST pipeline
-# evidently carries the split residuals at better-than-bf16 precision
-# internally; a software re-split through materialized bf16 operands
-# caps each product at ~2^-24 relative, which cancellation in
-# v = phi @ B amplifies by ~4 orders on narrow-conditional stress
-# inputs.  That is exactly the robustness 'hi' mode exists for, so the
-# pack stays an explicit throughput experiment, never a default
-# (measurement record: BENCH_NOTES round 3, "hi-pack").
+# K-packed factor matmuls for the 'hi' hot loop: emulate the bf16
+# split products of Precision.HIGHEST in ONE MXU dot (3x the K
+# utilization at the r=23-33 production contraction depths).  Default:
+# the full nine-product pack on TPU-class backends for precision='hi',
+# off on CPU (native f32 FMA is both faster and more accurate there).
+# Measured on v5e at the d=40/n=33/r=23 production shape, 2^18 rows:
+# 0.630 s vs 0.945 s HIGHEST (1.5x), with d=40 stress-TT parity
+# 1.11e-7 max sample dev vs 6.84e-8 for HIGHEST — the same class,
+# with wide headroom under the 1e-5 regression bar.
+#
+# The pack is correct ONLY with the integer bit-split in
+# _bf16_split_f32: a cast-based split is silently zeroed by the TPU
+# compiler's bf16 propagation pass (every split scheme then collapses
+# to a single-pass bf16 matmul, fk rel err 1.1e-2 — see that
+# docstring and BENCH_NOTES round 3, 'hi-pack').
+#
+# TTIRT_HI_PACK overrides: 0 = off everywhere, 6 = six-product pack,
+# 9 = nine-product, 62 = six products as two single-K-tile dots
+# (a compiler-behavior probe; no measured advantage over 6/9).
 _HI_PACK_ENV = _os.environ.get("TTIRT_HI_PACK", "")
 
 
-def _hi_pack() -> bool:
-    return _HI_PACK_ENV not in ("", "0", "false")
+def _hi_pack() -> int:
+    """Resolved pack width: 0 = unpacked HIGHEST matmuls."""
+    if _HI_PACK_ENV:
+        if _HI_PACK_ENV in ("0", "false"):
+            return 0
+        if _HI_PACK_ENV in ("9", "62"):
+            return int(_HI_PACK_ENV)
+        return 6
+    return 9 if jax.default_backend() not in ("cpu",) else 0
+
+
+def _bf16_split_f32(v):
+    """Round f32 to the nearest bf16-representable f32 (half away from
+    zero) via integer bits, plus the exact f32 residual.
+
+    WHY BITS AND NOT CASTS: the TPU compiler's bf16 propagation pass
+    demotes ``x - f32(bf16(x))`` to bf16 arithmetic whenever the
+    residual's consumers are bf16-typed — which makes every residual
+    EXACTLY ZERO under jit and silently collapses any software
+    split-precision scheme into a single-pass bf16 matmul (measured:
+    fk rel err 1.1e-2, identical for 6-product, 9-product, and
+    separate-dots variants, = the DEFAULT-precision error; even
+    optimization_barrier does not stop it).  Bitcast + integer
+    mask/round leaves no f32->bf16 convert in the graph, so the pass
+    has nothing to latch onto; the same probe then measures 6.7e-7
+    (vs 3.6e-7 for Precision.HIGHEST).  See BENCH_NOTES round 3,
+    'hi-pack'."""
+    vb = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    hb = ((vb + jnp.asarray(0x8000, jnp.uint32))
+          & jnp.asarray(0xFFFF0000, jnp.uint32))
+    h32 = jax.lax.bitcast_convert_type(hb, jnp.float32)
+    return h32, v - h32
+
+
+def _to_bf16_bits(a32):
+    """Exact f32 -> bf16 reinterpret for values already rounded to
+    bf16 precision (low 16 mantissa bits zero)."""
+    return jax.lax.bitcast_convert_type(
+        (jax.lax.bitcast_convert_type(a32, jnp.uint32) >> 16)
+        .astype(jnp.uint16), jnp.bfloat16)
 
 
 def _bf16_parts3(x):
-    """Split f32 into three bf16 parts with x = h + m + l to ~2^-24
-    (8 mantissa bits per part)."""
+    """Split f32 into three bf16 parts with x = h + m + l held exactly
+    in f32 (verified recon error 0.0 under jit on v5e); see
+    _bf16_split_f32 for why this must use integer bit manipulation."""
     x = x.astype(jnp.float32)
-    h = x.astype(jnp.bfloat16)
-    r1 = x - h.astype(jnp.float32)
-    m = r1.astype(jnp.bfloat16)
-    l = (r1 - m.astype(jnp.float32)).astype(jnp.bfloat16)
-    return h, m, l
+    h32, r1 = _bf16_split_f32(x)
+    m32, r2 = _bf16_split_f32(r1)
+    l32, _ = _bf16_split_f32(r2)
+    return _to_bf16_bits(h32), _to_bf16_bits(m32), _to_bf16_bits(l32)
 
 
 def _pack6_lhs(a):
@@ -124,6 +166,35 @@ def _pack6_lhs(a):
     HIGHEST-equivalent matmul (see _pack6_rhs)."""
     ah, am, al = _bf16_parts3(a)
     return jnp.concatenate([ah, ah, am, am, ah, al], axis=-1)
+
+
+def _pack9_lhs(a):
+    """(..., K) -> (..., 9K) bf16: left operand of the FULL-product
+    pack (see _pack9_rhs)."""
+    ah, am, al = _bf16_parts3(a)
+    return jnp.concatenate([ah, ah, am, am, ah, al, am, al, al],
+                           axis=-1)
+
+
+def _pack9_rhs(b):
+    """(..., K, N) -> (..., 9K, N) bf16: ALL NINE products of the
+    exact 3-way bf16 splits a = ah+am+al, b = bh+bm+bl (the bit-split
+    represents any normal f32 exactly — verified recon error 0.0 on
+    v5e).  Unlike the 6-product pack, nothing above ~2^-33 relative
+    is dropped, so the only error left is the f32 accumulation itself
+    — the same floor the hardware HIGHEST passes have.  Cost:
+    ceil(9K/128) MXU K-tiles per dot — at the production r=23
+    contraction, 9K = 207 <= 2 tiles, i.e. the SAME cost as the
+    6-product pack and ~3x fewer passes than HIGHEST; at K=n=33,
+    9K = 297 -> 3 tiles (2x fewer).  Measured (v5e, d=40/n=33/r=23,
+    2^18 rows): 0.630 s vs 0.945 s unpacked HIGHEST — 1.5x — at
+    stress parity 1.11e-7 vs 6.84e-8.  Ordering is
+    big-products-first (hh, hm, mh, mm, hl, lh, ml, lm, ll) so
+    sequential accumulation adds small corrections to a settled
+    partial sum."""
+    bh, bm, bl = _bf16_parts3(b)
+    return jnp.concatenate([bh, bm, bh, bm, bl, bh, bl, bm, bl],
+                           axis=-2)
 
 
 def _pack6_rhs(b):
@@ -139,14 +210,10 @@ def _pack6_rhs(b):
     each pass uses <= 26% of the systolic array's K=128 dimension.
     Packing six split products along K instead (K -> 6K = 138-198,
     1-2 MXU tiles) performs the analogous MACs at ~3x the K
-    utilization — measured ~2.5x step speedup and 1.4e-7 relative fk
-    accuracy on benign operands at the d=40/n=33/r=23 production
-    shape.  CAVEAT (why this is opt-in, see _hi_pack): on
-    cancellation-prone stress inputs the materialized-bf16 re-split
-    loses ~4 orders vs the chip's own HIGHEST pipeline (1.3e-3 vs
-    6.8e-8 max sample dev on the d=40 stress TT) — the hardware path
-    evidently keeps split residuals at better-than-bf16 internal
-    precision (BENCH_NOTES round 3, 'hi-pack')."""
+    utilization.  The split MUST be the integer bit-split
+    (_bf16_split_f32) — a cast-based split is zeroed by the TPU
+    compiler's bf16 propagation.  Prefer _pack9_rhs (the default):
+    same measured speed, strictly smaller representation error."""
     bh, bm, bl = _bf16_parts3(b)
     return jnp.concatenate([bh, bm, bh, bm, bl, bh], axis=-2)
 
@@ -623,15 +690,31 @@ def _step_factor(mode, n, cdfk, packed, carry, inp):
     cancellation-free, so tail relative error sits at ~eps/sqrt(rho)
     instead of the Gram form's eps/rho.  CDF bracket scalars in f64;
     rows per ``cdfk`` ('serve' = f32 matmul-cumsums, 'ds' =
-    double-single).  ``packed``: operands arrive K-packed
-    (_pack6_rhs) and both big matmuls run as single K-packed bf16
-    dots at HIGHEST-class accuracy."""
+    double-single).  ``packed``: 0 = HIGHEST matmuls; 6/9 = operands
+    arrive K-packed (_pack6_rhs/_pack9_rhs) and both big matmuls run
+    as single K-packed bf16 dots (opt-in, see _hi_pack)."""
     phi, lf = carry                                        # (Mb, r) f32
     bmat, cmat, x, h, qk = inp             # (r, n*r), (n, r*r) unfolded
     mb, r = phi.shape
+    plhs = _pack9_lhs if packed == 9 else _pack6_lhs
+
+    def pdot(a_packed, b_packed, nseg):
+        if packed == 62:
+            # two dots of 3 packed segments each (<= 128 K-lanes at
+            # the production r/n), summed in f32 — isolates the
+            # packed scheme from any cross-K-tile partial handling
+            # inside a single multi-tile bf16 dot
+            k3 = (a_packed.shape[-1] // nseg) * (nseg // 2)
+            return (jnp.dot(a_packed[..., :k3], b_packed[:k3],
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(a_packed[..., k3:], b_packed[k3:],
+                              preferred_element_type=jnp.float32))
+        return jnp.dot(a_packed, b_packed,
+                       preferred_element_type=jnp.float32)
+
+    nseg = 9 if packed == 9 else 6
     if packed:
-        v = jnp.dot(_pack6_lhs(phi), bmat,
-                    preferred_element_type=jnp.float32)    # (Mb, n*r)
+        v = pdot(plhs(phi), bmat, nseg)                    # (Mb, n*r)
     else:
         v = jnp.matmul(phi, bmat, precision=_HI)           # (Mb, n*r)
     v = jnp.reshape(v, (mb, n, r))
@@ -643,9 +726,7 @@ def _step_factor(mode, n, cdfk, packed, carry, inp):
     w = (la[:, None].astype(jnp.float32) * oh0
          + lb[:, None].astype(jnp.float32) * oh1)
     if packed:
-        b = jnp.reshape(jnp.dot(_pack6_lhs(w), cmat,
-                                preferred_element_type=jnp.float32),
-                        (mb, r, r))
+        b = jnp.reshape(pdot(plhs(w), cmat, nseg), (mb, r, r))
     else:
         b = jnp.reshape(jnp.matmul(w, cmat, precision=_HI), (mb, r, r))
     phi = jnp.einsum("mi,mij->mj", phi, b, precision=_HI)
@@ -863,10 +944,14 @@ def _prep(mode, cstack, xstack, precision, stable, fused=False):
     if family == "factor":
         bmat32 = bmat.astype(jnp.float32)
         cmat32 = cmat.astype(jnp.float32)
-        if _hi_pack() and not fused:
-            # K-packed operands: ONE bf16 dot per big matmul at
-            # HIGHEST-class accuracy (_pack6_rhs docstring)
-            return (_pack6_rhs(bmat32), _pack6_rhs(cmat32), xs, hs)
+        pw = _hi_pack()
+        if pw and not fused and (precision == "hi" or _HI_PACK_ENV):
+            # K-packed operands: ONE bf16 dot per big matmul
+            # (_pack9_rhs docstring).  Backend-default packing applies
+            # to 'hi' only; 'hid' stays unpacked unless TTIRT_HI_PACK
+            # forces it, preserving it as the conservative A/B path.
+            pk = _pack9_rhs if pw == 9 else _pack6_rhs
+            return (pk(bmat32), pk(cmat32), xs, hs)
         return (bmat32, cmat32, xs, hs)
     bh, bl = ds_from_f64(bmat)
     ch, cl = ds_from_f64(cmat)
@@ -905,10 +990,16 @@ def _fwd(mode, precision, prep, q, fused=False):
         return outs.T, lf
     if family == "factor":
         bmat, cmat, xs, hs = prep
-        packed = bmat.dtype == jnp.bfloat16     # K-packed prep (hi-pack)
         d = bmat.shape[0]
-        r = bmat.shape[1] // 6 if packed else bmat.shape[1]
-        n = cmat.shape[1] // 6 if packed else cmat.shape[1]
+        # K-packed prep (hi-pack): cmat is (d, pw*n, r*r), so r comes
+        # from the unpacked last axis and pw follows from bmat's
+        # packed K relative to it (pw in {6, 9}; 1 = unpacked).
+        r = int(round(cmat.shape[2] ** 0.5))
+        pw = bmat.shape[1] // r
+        packed = 0 if bmat.dtype != jnp.bfloat16 else pw
+        if packed == 6 and _hi_pack() == 62:
+            packed = 62          # same 6K prep, two single-tile dots
+        n = cmat.shape[1] // max(pw, 1)
         streams = _STREAMS
         if fused == 2:
             # whole-dim CDF kernel: per-dim trapezoid/grid operands as
