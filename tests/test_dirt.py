@@ -250,3 +250,38 @@ def test_dirt_build_history(trained_dirt, tmp_path):
     leaves, aux = trained_dirt.tree_flatten()
     rebuilt = DIRT.tree_unflatten(aux, leaves)
     assert rebuilt.history is None
+
+
+def test_dirt_sampler_matches_sample(trained_dirt):
+    """DirtSampler (prepare-once serving handle) must reproduce
+    tt_dirt_sample exactly: same kernels, hoisted preparation."""
+    from tt_irt_tpu import DirtSampler
+
+    q = jax.random.uniform(jax.random.PRNGKey(11), (512, D),
+                           dtype=jnp.float64)
+    for prec in ("f64", "hi"):
+        z0, lf0 = tt_dirt_sample(trained_dirt, q, precision=prec)
+        sampler = DirtSampler(trained_dirt, precision=prec)
+        z1, lf1 = sampler(q)
+        assert np.array_equal(np.asarray(z0), np.asarray(z1)), prec
+        assert np.array_equal(np.asarray(lf0), np.asarray(lf1)), prec
+    # repeated calls reuse the cached prep and stay deterministic
+    z2, lf2 = sampler(q)
+    assert np.array_equal(np.asarray(z1), np.asarray(z2))
+
+
+def test_dirt_sampler_normal_reference_and_auto():
+    from tt_irt_tpu import DirtSampler, randref
+
+    dirt = tt_dirt_approx(
+        GRIDS, logratio, BETA, stoptol=0.15, nswp=3, kickrank=2,
+        testsamples=512, verb=0, seed=5, reference="normal 4",
+        nq=[17] * D)
+    q = randref("normal 4", jax.random.PRNGKey(3), (1024, D))
+    z0, lf0 = tt_dirt_sample(dirt, q, precision="hi")
+    s = DirtSampler(dirt, precision="auto")
+    assert s.precision == "f32"  # d=4 < 40: depth policy picks f32
+    s_hi = DirtSampler(dirt, precision="hi")
+    z1, lf1 = s_hi(q)
+    assert np.array_equal(np.asarray(z0), np.asarray(z1))
+    assert np.array_equal(np.asarray(lf0), np.asarray(lf1))

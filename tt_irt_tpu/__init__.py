@@ -58,6 +58,7 @@ from .samplers.dirt import (  # noqa: E402
     tt_dirt_inverse,
     tt_dirt_sample,
 )
+from .samplers.serve import DirtSampler  # noqa: E402
 from .samplers.debias import (  # noqa: E402
     iw_prune, mcmc_prune, rejection_histogram, tt_irt_debias,
 )
@@ -98,6 +99,7 @@ __all__ = [
     "DIRT",
     "tt_dirt_sample",
     "serve_precision",
+    "DirtSampler",
     "tt_dirt_inverse",
     "mcmc_prune",
     "iw_prune",

@@ -780,6 +780,114 @@ def _step_ds(mode, n, carry, inp):
     return ((phh, phl), lf), out
 
 
+def _cdf_rows32(mode, n, fk, x32, xlo, h32, qp32, um32):
+    """Pure-f32 CDF rows + bracket + one-hot readout + f32 weight solve
+    — the in-scan half of the BATCHED-epilogue serve path ('serveb').
+
+    Emits the 9 bracket scalars (c1, cr2, f1, f2, x1h, x1l, x2h, x2l,
+    tot) per sample for the f64 epilogue that runs ONCE for all dims
+    after the scan (_serve_solve), plus f32 interpolation weights
+    (la, lb) and the bracket one-hots for the in-scan prefix update.
+    No f64 (TPU-emulated) arithmetic remains in the scan body: the
+    weights come from an f32 citardauq solve, which perturbs the
+    CONDITIONING point by ~1e-7 of a cell — the same class as the f64
+    path's own cast of la/lb to f32 before the prefix matmul.  The
+    OUTPUT samples and log-density still come from the f64 epilogue.
+
+    Bracket targets are formed as qp32*tot32 (one extra f32 rounding
+    vs the f64-product-then-round of _cdf_invert_serve): a <=1-cell
+    bracket shift at rounding-boundary seeds, with consistent one-hot
+    readouts and a clipped in-cell solve — within the mode's error
+    budget (pinned by tests/test_precision.py).  um32 = f32(1 - qp)
+    is rounded from the f64 seed so right-tail targets keep full f32
+    RELATIVE precision."""
+    lmat, umat = _tri_mats(n - 1)
+    dc = 0.5 * (fk[..., :-1] + fk[..., 1:]) * h32[1:]      # (Mb, n-1)
+    total = jnp.sum(dc, axis=-1, keepdims=True)
+    bad = total <= 0.0
+    dc = jnp.where(bad, h32[1:], dc)
+    fk = jnp.where(bad, jnp.ones_like(fk), fk)
+    zero = jnp.zeros(fk.shape[:-1] + (1,), fk.dtype)
+    ck = jnp.concatenate(
+        [zero, jnp.matmul(dc, jnp.asarray(lmat), precision=_HI)],
+        axis=-1)                                           # (Mb, n)
+    cr = jnp.concatenate(
+        [jnp.matmul(dc, jnp.asarray(umat), precision=_HI), zero],
+        axis=-1)                                           # (Mb, n)
+    tot = ck[:, -1]                                        # (Mb,) f32
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    if mode == "rt":
+        below = (x32[None, :] < qp32[:, None]).astype(jnp.int32)
+        i0 = jnp.clip(jnp.sum(below, axis=1) - 1, 0, n - 2)
+        right = jnp.zeros(qp32.shape, bool)
+        qt = ut = jnp.zeros_like(qp32)
+    else:
+        right = qp32 > 0.5
+        qt = qp32 * tot
+        ut = um32 * tot
+        i0l = jnp.sum((ck < qt[:, None]).astype(jnp.int32), axis=1) - 1
+        i0r = jnp.sum((cr > ut[:, None]).astype(jnp.int32), axis=1) - 1
+        i0 = jnp.clip(jnp.where(right, i0r, i0l), 0, n - 2)
+    oh0 = (iota == i0[:, None]).astype(jnp.float32)        # (Mb, n)
+    oh1 = (iota == (i0 + 1)[:, None]).astype(jnp.float32)
+
+    def read(rows, oh):
+        return jnp.sum(rows * oh, axis=1)                  # (Mb,) f32
+
+    c1 = read(ck, oh0)
+    cr2 = read(cr, oh1)
+    f1 = read(fk, oh0)
+    f2 = read(fk, oh1)
+    x1 = read(x32[None, :], oh0)
+    x2 = read(x32[None, :], oh1)
+    out9 = jnp.stack(
+        [c1, cr2, f1, f2, x1, read(xlo[None, :], oh0), x2,
+         read(xlo[None, :], oh1), tot], axis=1)            # (Mb, 9)
+    # f32 weight solve for the prefix conditioning only
+    if mode == "rt":
+        xk = qp32
+    else:
+        xl_ = _invert_quadratic(f1, f2, c1, qt, x1, x2)
+        xr_ = -_invert_quadratic(f2, f1, cr2, ut, -x2, -x1)
+        xk = jnp.where(right, xr_, xl_)
+    la = jnp.clip((x2 - xk) / (x2 - x1), 0.0, 1.0)
+    return out9, oh0, oh1, la, 1.0 - la
+
+
+def _step_factor_b(mode, n, packed, carry, inp):
+    """_step_factor with the f64 epilogue REMOVED from the scan: one
+    dimension's f32 row work emits the bracket scalars as a scan output
+    and the batched f64 solve runs once after the scan (_fwd 'serveb').
+    The scan body is then f32/bf16-only — at the d=40 production shape
+    the serialized per-dim emulated-f64 tail was ~28% of the step
+    (BENCH_NOTES round-3 decomposition)."""
+    phi = carry                                            # (Mb, r) f32
+    bmat, cmat, x32, xlo, h32, qp32, um32 = inp
+    mb, r = phi.shape
+    plhs = _pack9_lhs if packed == 9 else _pack6_lhs
+    if packed:
+        v = jnp.dot(plhs(phi), bmat,
+                    preferred_element_type=jnp.float32)    # (Mb, n*r)
+    else:
+        v = jnp.matmul(phi, bmat, precision=_HI)
+    v = jnp.reshape(v, (mb, n, r))
+    fk = jnp.sum(v * v, axis=2)                            # (Mb, n) f32
+    out9, oh0, oh1, la, lb = _cdf_rows32(mode, n, fk, x32, xlo, h32,
+                                         qp32, um32)
+    w = la[:, None] * oh0 + lb[:, None] * oh1
+    if packed:
+        b = jnp.reshape(jnp.dot(plhs(w), cmat,
+                                preferred_element_type=jnp.float32),
+                        (mb, r, r))
+    else:
+        b = jnp.reshape(jnp.matmul(w, cmat, precision=_HI), (mb, r, r))
+    phi = jnp.einsum("mi,mij->mj", phi, b, precision=_HI)
+    scale = jnp.maximum(jnp.max(jnp.abs(phi), axis=1, keepdims=True),
+                        jnp.asarray(1e-30, phi.dtype))
+    phi = phi / scale
+    return phi, out9
+
+
 def _step_factor_fused(mode, n, carry, inp):
     """_step_factor with the two big contractions fused into Pallas
     kernels (ops/pallas_step.py): the (Mb, n*r) factor product and the
@@ -821,7 +929,10 @@ def _serve_solve(mode, out9, i0, qp):
     else:
         qt = qp * tot
         ut = (1.0 - qp) * tot
-        right = qp > 0.5
+        # selector must match the in-kernel/in-scan f32 bracket choice
+        # exactly at rounding-boundary seeds (qp in (0.5, 0.5 + 2^-25)
+        # rounds to f32 0.5): derive it from the same f32 value
+        right = qp.astype(jnp.float32) > 0.5
         xl_ = _invert_quadratic(f1, f2, c1, qt, x1, x2)
         xr_ = -_invert_quadratic(f2, f1, cr2, ut, -x2, -x1)
         xk = jnp.where(right, xr_, xl_)
@@ -884,10 +995,14 @@ _PRECISIONS = {
     "f64": ("float64", "float64", "gram", "plain"),
     "f32": ("float32", "float32", "gram", "plain"),
     "mixed": ("float32", "float64", "gram", "ds"),
-    "hi": ("float32", "float64", "factor", "serve"),
+    "hi": ("float32", "float64", "factor",
+           _os.environ.get("TTIRT_HI_CDF", "serveb")),
     "hid": ("float32", "float64", "factor", "ds"),
     "ds": ("float32", "float64", "ds", "plain"),
 }
+# TTIRT_HI_CDF: 'serveb' (default — batched f64 epilogue after an
+# f32-only scan), 'serve' (per-dim f64 bracket scalars in-loop), or
+# 'ds' (double-single rows, == 'hid').
 
 
 def _family(mode, precision):
@@ -1018,6 +1133,32 @@ def _fwd(mode, precision, prep, q, fused=False):
             (_, lf), outs = jax.lax.scan(
                 partial(_step_factor_fused2, mode, n), (phi0, lf0), xsq)
             return outs.T, lf
+        if cdfk == "serveb" and not fused and _STREAMS != 2:
+            # Batched-epilogue serve path: the scan body is pure
+            # f32/bf16 (emits the 9 bracket scalars per dim), and ONE
+            # vectorized f64 solve handles all d dims afterwards —
+            # removing the serialized per-dim emulated-f64 tail (~28%
+            # of the step at the d=40 production shape, BENCH_NOTES
+            # round-3 decomposition).
+            x32s = xs.astype(jnp.float32)                 # (d, n)
+            xlos = (xs - x32s.astype(jnp.float64)).astype(jnp.float32)
+            h32s = hs.astype(jnp.float32)
+            q64 = q.astype(jnp.float64).T                 # (d, mb)
+            qp32 = q64.astype(jnp.float32)
+            um32 = (1.0 - q64).astype(jnp.float32)
+            phi0 = jnp.zeros((mb, r), jnp.float32).at[:, 0].set(1.0)
+            xsq = (bmat, cmat, x32s, xlos, h32s, qp32, um32)
+            _, outs9 = jax.lax.scan(
+                partial(_step_factor_b, mode, n, packed), phi0, xsq)
+            dd = outs9.shape[0]
+            out, dlf, _, _ = _serve_solve(
+                mode, jnp.reshape(outs9, (dd * mb, 9)), None,
+                jnp.reshape(q64, (dd * mb,)))
+            lf = jnp.sum(jnp.reshape(dlf, (dd, mb)), axis=0)
+            return jnp.reshape(out, (dd, mb)).T, lf
+        if cdfk == "serveb":
+            cdfk = "serve"      # fused / two-stream paths keep the
+            # in-loop serve-CDF (same rows, per-dim f64 scalars)
         step = partial(_step_factor_fused, mode, n) if fused \
             else partial(_step_factor, mode, n, cdfk, packed)
         if streams == 2 and not fused and mb % 2 == 0:

@@ -1,0 +1,140 @@
+"""Production serving: prepare a DIRT once, push many sample batches.
+
+``tt_dirt_sample`` (dirt.py) re-runs the backward semi-marginalization
+of every level on every call — correct for one-shot use, but in a
+serving loop the checkpoint is fixed and that work is pure overhead:
+at the shipped Lorenz-40 stack (14 levels, n=33, r=23) the vmapped
+prep is 1.7 s and the level-0 prep ~0.4 s of a 17 s serve (measured
+v5e, BENCH_NOTES round 3 "deep-serve decomposition").  ``DirtSampler``
+hoists all of it into construction:
+
+    sampler = DirtSampler(dirt, precision="hi")
+    z, lfapp = sampler(q1)        # steady-state: forward passes only
+    z, lfapp = sampler(q2)
+
+The forward semantics are identical to ``tt_dirt_sample`` (same
+kernels, same precision modes) — ``tests/test_dirt.py`` asserts
+bitwise-equal outputs.
+
+Reference: the reference has no serving split (tt_dirt_sample.m
+recomputes its marginalizations per call inside tt_irt_sqr.m:63-80);
+the prepare/serve split is the TPU-native redesign of its workflow.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .dirt import (
+    DIRT,
+    _level_irt,
+    _resolve_precision,
+    _stack_levels,
+    serve_precision,
+)
+from .irt import _canon_grid, auto_block, tt_irt_sqr
+from .irt_scan import (
+    _prep_jit,
+    _prep_levels_jit,
+    _use_fused,
+    can_use_scan,
+    fwd_blocked,
+    stack_padded,
+)
+from .reference import (
+    tnormal_logdensity_shift,
+    tnormal_to_uniform,
+)
+
+__all__ = ["DirtSampler"]
+
+
+class DirtSampler:
+    """Prepared DIRT transport: backward marginalizations cached.
+
+    Args:
+      dirt: a DIRT stack (built or loaded from a checkpoint).
+      precision: 'f64'/'f32'/'mixed'/'hi'/'hid'/'ds', 'auto' for the
+        depth-aware policy (serve_precision), or None for the dtype
+        default (matches tt_dirt_sample).
+      block: forward block size (default auto_block).
+    """
+
+    def __init__(self, dirt: DIRT, precision: str | None = None,
+                 block: int | None = None):
+        if precision == "auto":
+            precision = serve_precision(dirt)
+        self.dirt = dirt
+        self.precision = _resolve_precision(dirt, precision)
+        self.block = block
+        self._sigma = dirt.sigma
+        stable = jax.default_backend() != "tpu"
+        self._fused = _use_fused("sqr", self.precision)
+
+        # ---- upper levels: one vmapped prep over the stacked TTs ----
+        self._upper = None
+        if dirt.nlevels and dirt.interpolation.startswith("s"):
+            stacked = _stack_levels(dirt)
+            if stacked is None and dirt.nlevels == 1:
+                # single upper level: prep it alone
+                gs, fc = _canon_grid(dirt.x, dirt.fs[0])
+                if can_use_scan(fc, gs, fc.d):
+                    cs, xs = stack_padded(fc, gs)
+                    self._upper = ("single", _prep_jit(
+                        "sqr", cs, xs, self.precision, stable,
+                        fused=self._fused))
+            elif stacked is not None:
+                cstacks, xstack = stacked
+                preps = _prep_levels_jit("sqr", cstacks, xstack,
+                                         self.precision, stable,
+                                         fused=self._fused)
+                self._upper = ("stacked", preps)
+
+        # ---- level 0 ----
+        self._prep0 = None
+        gs0, f0c = _canon_grid(dirt.x0, dirt.f0)
+        if can_use_scan(f0c, gs0, f0c.d):
+            cs0, xs0 = stack_padded(f0c, gs0)
+            self._prep0 = _prep_jit("sqr", cs0, xs0, self.precision,
+                                    stable, fused=self._fused)
+
+    def _upper_prep(self, j):
+        kind, preps = self._upper
+        if kind == "single":
+            return preps
+        return jax.tree_util.tree_map(lambda a: a[j], preps)
+
+    def sample(self, q, logpostfun=None):
+        """tt_dirt_sample with cached preparations; same return shape."""
+        dirt = self.dirt
+        z = jnp.asarray(q)
+        sigma = self._sigma
+        block = auto_block(z.shape[0], self.block)
+        lfapp = jnp.zeros((z.shape[0],), z.dtype)
+        for j in range(dirt.nlevels - 1, -1, -1):
+            if sigma is not None:
+                z = tnormal_to_uniform(z, sigma)
+            if self._upper is not None:
+                z, dlf = fwd_blocked("sqr", self.precision,
+                                     self._upper_prep(j), z, block,
+                                     self._fused)
+            else:
+                z, dlf = _level_irt(dirt, dirt.fs[j], z, self.precision)
+            lfapp = lfapp + dlf
+            if sigma is not None:
+                lfapp = lfapp - tnormal_logdensity_shift(z, sigma)
+        if sigma is not None:
+            z = tnormal_to_uniform(z, sigma)
+        if self._prep0 is not None:
+            z, dlf = fwd_blocked("sqr", self.precision, self._prep0, z,
+                                 block, self._fused)
+        else:
+            z, dlf = tt_irt_sqr(dirt.x0, dirt.f0, z,
+                                precision=self.precision)
+        lfapp = lfapp + dlf
+        if logpostfun is not None:
+            return z, lfapp, logpostfun(z)
+        return z, lfapp
+
+    __call__ = sample
