@@ -94,3 +94,48 @@ def test_fused_rt_roundtrip():
     finally:
         os.environ.pop("TTIRT_FUSED_STEP", None)
     assert float(jnp.max(jnp.abs(qb - q))) < 1e-5
+
+
+def test_dim_kernel_matches_xla_serveb():
+    """The merged whole-dim kernel (ops/pallas_dim.py) must reproduce
+    the XLA 'serveb' scan body exactly: same f32 row math, same
+    one-hot bracket reads, same batched f64 epilogue — on CPU
+    (interpret mode) the outputs are bitwise equal."""
+    tt, grids = _mk_tt(d=6, n=17, r=5, seed=11)
+    rng = np.random.default_rng(13)
+    q = jnp.asarray(rng.uniform(size=(512, 6)))
+    try:
+        os.environ["TTIRT_DIM_KERNEL"] = "0"
+        x0, l0 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
+        os.environ["TTIRT_DIM_KERNEL"] = "1"
+        x1, l1 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
+        qb, _ = ti.tt_rt_sqr(grids, tt, x1, precision="hi")
+    finally:
+        os.environ.pop("TTIRT_DIM_KERNEL", None)
+    assert float(jnp.max(jnp.abs(x1 - x0))) == 0.0
+    assert float(jnp.max(jnp.abs(l1 - l0))) == 0.0
+    assert float(jnp.max(jnp.abs(qb - q))) < 1e-5
+
+
+def test_dim_kernel_packed_operands():
+    """With the 9-product hi-pack prep (TTIRT_HI_PACK=9) the kernel
+    branch must unpack the exact bf16 parts back to the plain f32
+    operands (h + m + l == original bitwise), so results again match
+    the packed XLA path."""
+    tt, grids = _mk_tt(d=6, n=17, r=5, seed=17)
+    rng = np.random.default_rng(19)
+    q = jnp.asarray(rng.uniform(size=(256, 6)))
+    try:
+        os.environ["TTIRT_HI_PACK"] = "9"
+        os.environ["TTIRT_DIM_KERNEL"] = "0"
+        x0, l0 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
+        os.environ["TTIRT_DIM_KERNEL"] = "1"
+        x1, l1 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
+    finally:
+        os.environ.pop("TTIRT_DIM_KERNEL", None)
+        os.environ.pop("TTIRT_HI_PACK", None)
+    # packed XLA body computes fk from bf16-product dots; the kernel
+    # recomputes it from the reconstructed f32 operands at HIGHEST —
+    # same quantity, different rounding path: tolerance-banded.
+    assert float(jnp.max(jnp.abs(x1 - x0))) < 5e-6
+    assert float(jnp.max(jnp.abs(l1 - l0))) < 5e-4

@@ -1147,9 +1147,47 @@ def _fwd(mode, precision, prep, q, fused=False):
             qp32 = q64.astype(jnp.float32)
             um32 = (1.0 - q64).astype(jnp.float32)
             phi0 = jnp.zeros((mb, r), jnp.float32).at[:, 0].set(1.0)
-            xsq = (bmat, cmat, x32s, xlos, h32s, qp32, um32)
-            _, outs9 = jax.lax.scan(
-                partial(_step_factor_b, mode, n, packed), phi0, xsq)
+            from ..ops.pallas_dim import (_kernel_pack,
+                                          dim_kernel_enabled, dim_step)
+            if dim_kernel_enabled() and (packed in (0, 9)):
+                # merged per-dim Pallas kernel: all row intermediates
+                # VMEM-resident, only phi + the bracket scalars reach
+                # HBM (ops/pallas_dim.py)
+                bk, ck_ = bmat, cmat
+                if packed == 9 and not _kernel_pack():
+                    # rebuild the plain f32 operands from the exact
+                    # bf16 pack (h + m + l = original, bit-exact):
+                    # pack9 row blocks are [h, m, h, m, l, h, l, m, l]
+                    def unpack(p9):
+                        k1 = p9.shape[1] // 9
+                        return (p9[:, :k1].astype(jnp.float32)
+                                + p9[:, k1:2 * k1].astype(jnp.float32)
+                                + p9[:, 4 * k1:5 * k1]
+                                .astype(jnp.float32))
+                    bk = unpack(bmat)
+                    ck_ = unpack(cmat)
+                elif packed == 0 and _kernel_pack():
+                    bk = jax.vmap(_pack9_rhs)(bmat)
+                    ck_ = jax.vmap(_pack9_rhs)(cmat)
+                xgs = jnp.stack([x32s, xlos], axis=1)     # (d, 2, n)
+                e0 = _np.eye(n, n - 1, dtype=_np.float32)
+                e1 = _np.eye(n, n - 1, k=-1, dtype=_np.float32)
+                hcol = h32s[:, None, 1:]                  # (d, 1, n-1)
+                dstack = 0.5 * (e0 + e1)[None] * hcol     # (d, n, n-1)
+                kmode = "rt" if mode == "rt" else "irt"
+
+                def kbody(phi, inp):
+                    bkd, ckd, dm, hr, xgd, qk, uk = inp
+                    return dim_step(phi, qk, uk, bkd, ckd, dm, hr, xgd,
+                                    mode=kmode)
+
+                _, outs9 = jax.lax.scan(
+                    kbody, phi0, (bk, ck_, dstack, hcol, xgs,
+                                  qp32, um32))
+            else:
+                xsq = (bmat, cmat, x32s, xlos, h32s, qp32, um32)
+                _, outs9 = jax.lax.scan(
+                    partial(_step_factor_b, mode, n, packed), phi0, xsq)
             dd = outs9.shape[0]
             out, dlf, _, _ = _serve_solve(
                 mode, jnp.reshape(outs9, (dd * mb, 9)), None,
