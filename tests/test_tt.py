@@ -135,3 +135,22 @@ def test_round_rmax_cap(rng):
     a = tt_rand((6, 6, 6), r=5, key=jax.random.PRNGKey(8))
     t = tt_round(a, 0.0, rmax=3)
     assert max(t.ranks) <= 3
+
+
+def test_tracemult_parity_complex():
+    """tracemult handles complex batches like the reference C kernel
+    (tracemult.c:29-42 fakes complex via interleaved doubles; here the
+    dtype flows through natively)."""
+    import numpy as np
+    from tt_irt_tpu.ops.tracemult import tracemult, tracemult_gather
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((5, 3, 4)) + 1j * rng.standard_normal((5, 3, 4))
+    b = rng.standard_normal((7, 4, 2)) + 1j * rng.standard_normal((7, 4, 2))
+    j = rng.integers(0, 7, size=5)
+    out = np.asarray(tracemult(a, b, j))
+    ref = np.stack([a[i] @ b[j[i]] for i in range(5)])
+    np.testing.assert_allclose(out, ref, rtol=1e-12)
+    g = np.asarray(tracemult_gather(a[:, :, 0], j % 3))
+    ref_g = a[np.arange(5), j % 3, 0]
+    np.testing.assert_allclose(g, ref_g, rtol=1e-12)

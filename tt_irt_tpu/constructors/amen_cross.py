@@ -37,6 +37,16 @@ from ..ops.tt import TT
 __all__ = ["amen_cross_s", "CrossResult"]
 
 
+def _as_values(out) -> np.ndarray:
+    """User-function output as f64 — or c128 when the target is
+    complex-valued (the reference's cross inherits complex support from
+    MATLAB; its si/li stats exist exactly for that case,
+    amen_cross_s.m and tracemult.c:29-42)."""
+    out = np.asarray(out)
+    return out.astype(np.complex128 if np.iscomplexobj(out)
+                      else np.float64)
+
+
 class CrossResult(NamedTuple):
     tt: TT
     statvals: np.ndarray | None
@@ -288,10 +298,10 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
         (the reference never hits this: MATLAB is shape-dynamic)."""
         mpad = 1 << max(5, (m - 1).bit_length())
         if mpad == m:
-            return np.asarray(f(arr), dtype=np.float64).reshape(m, -1)
+            return _as_values(f(arr)).reshape(m, -1)
         pad = np.broadcast_to(arr[:1], (mpad - m,) + arr.shape[1:])
         full = np.concatenate([arr, pad], axis=0)
-        out = np.asarray(f(full), dtype=np.float64)
+        out = _as_values(f(full))
         return out.reshape(mpad, -1)[:m]
 
     def evaluate(jl, jr, yx_l, yx_r, i):
@@ -463,7 +473,8 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
                     f"function returned {cry.shape} values, expected "
                     f"({m}, {b})")
             if statvals is None:
-                statvals = np.full((len(soughts), b), np.nan)
+                statvals = np.full((len(soughts), b), np.nan,
+                                   dtype=cry.dtype)
                 statind = np.zeros((len(soughts), d, b), np.int64)
 
             # statistics tracking on exact sampled values (per block col)

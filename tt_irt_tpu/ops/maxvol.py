@@ -20,6 +20,14 @@ import numpy as np
 __all__ = ["maxvol", "maxvol_rect", "localcross"]
 
 
+def _as_floating(a) -> np.ndarray:
+    """f64 for real input, c128 preserved for complex input (the
+    reference's pivot kernels inherit complex support from MATLAB;
+    tracemult.c:29-42 carries complex through the samplers' primitive)."""
+    a = np.asarray(a)
+    return a.astype(np.complex128 if np.iscomplexobj(a) else np.float64)
+
+
 def maxvol(a, tol: float = 1.05, max_iters: int = 200) -> np.ndarray:
     """Quasi-maximum-volume square submatrix row selection.
 
@@ -28,7 +36,7 @@ def maxvol(a, tol: float = 1.05, max_iters: int = 200) -> np.ndarray:
     swap algorithm: start from LU pivot rows, then swap while any element
     of A @ inv(A[ind]) exceeds ``tol`` in modulus.
     """
-    a = np.asarray(a, dtype=np.float64)
+    a = _as_floating(a)
     n, r = a.shape
     if n <= r:
         return np.arange(n)
@@ -50,7 +58,7 @@ def maxvol(a, tol: float = 1.05, max_iters: int = 200) -> np.ndarray:
         bj = b[:, j].copy()
         bi = b[i, :].copy()
         bi[j] -= 1.0
-        b -= np.outer(bj, bi) / b[i, j]
+        b -= np.outer(bj, bi) / b[i, j]  # complex-safe: plain products
         ind[j] = i
     return np.sort(ind)
 
@@ -77,15 +85,16 @@ def _lu_row_pivots(a: np.ndarray) -> np.ndarray:
 def maxvol_rect(a, kmax: int | None = None, tol: float = 1.10) -> np.ndarray:
     """Greedy rectangular maxvol: extend the square maxvol set with extra
     rows of largest residual leverage, up to ``kmax`` rows total."""
-    a = np.asarray(a, dtype=np.float64)
+    a = _as_floating(a)
     n, r = a.shape
     ind = list(maxvol(a, tol=min(tol, 1.05)))
     if kmax is None or kmax <= r or n <= r:
         return np.asarray(ind)
     kmax = min(kmax, n)
     sub = a[ind]
-    b = np.linalg.solve(sub.T @ sub + 1e-14 * np.eye(r), sub.T @ a.T).T
-    lev = np.sum(b * b, axis=1)
+    b = np.linalg.solve(sub.conj().T @ sub + 1e-14 * np.eye(r),
+                        sub.conj().T @ a.T).T
+    lev = np.sum(np.abs(b) ** 2, axis=1)
     lev[ind] = -np.inf
     while len(ind) < kmax:
         i = int(np.argmax(lev))
@@ -106,7 +115,7 @@ def localcross(y, tol: float, rmax: int | None = None):
 
     Returns (u, v) with u (m x r) having orthonormal columns.
     """
-    y = np.asarray(y, dtype=np.float64)
+    y = _as_floating(y)
     m, n = y.shape
     if rmax is None:
         rmax = min(m, n)
@@ -130,9 +139,9 @@ def localcross(y, tol: float, rmax: int | None = None):
         vs.append(v)
     if not us:
         # Degenerate all-zero input: return rank-1 zeros
-        u = np.zeros((m, 1))
+        u = np.zeros((m, 1), dtype=y.dtype)
         u[0, 0] = 1.0
-        return u, np.zeros((1, n))
+        return u, np.zeros((1, n), dtype=y.dtype)
     u = np.stack(us, axis=1)
     v = np.stack(vs, axis=0)
     q, rmat = np.linalg.qr(u)

@@ -163,14 +163,16 @@ def _chop_rank(s: jnp.ndarray, delta, rmax: int | None) -> int:
 # ---------------------------------------------------------------------------
 
 def tt_dot(a: TT, b: TT) -> jnp.ndarray:
-    """Inner product <a, b> (sum over the full tensor product grid)."""
+    """Inner product <a, b> (sum over the full tensor product grid).
+    Sesquilinear for complex TTs (conjugate on ``a``), matching the
+    MATLAB/TT-Toolbox ``dot`` the reference calls (amen_cross_s.m:503)."""
     ra, rb = a.cores[0].shape[0], b.cores[0].shape[0]
     if ra != rb:
         raise ValueError("left boundary ranks must match")
     g = jnp.eye(ra, dtype=a.dtype)
     for ca, cb in zip(a.cores, b.cores):
         # g: (ra_k, rb_k); contract over mode
-        g = jnp.einsum("ab,aic,bid->cd", g, ca, cb)
+        g = jnp.einsum("ab,aic,bid->cd", g, jnp.conj(ca), cb)
     return jnp.squeeze(g)
 
 
