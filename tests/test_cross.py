@@ -365,3 +365,20 @@ def test_complex_tt_arithmetic():
     assert max(sr.ranks) <= max(a.ranks) + 1
     np.testing.assert_allclose(np.asarray(tt_full(sr)), 2 * full,
                                atol=1e-9 * np.max(np.abs(full)))
+
+
+def test_cross_complex_elementwise_mode():
+    """Complex target through the ffun (elementwise) input mode."""
+    grids = [np.linspace(0.1, 1.0, 7) for _ in range(3)]
+    xs = tt_meshgrid([jnp.asarray(g) for g in grids])
+
+    def fun(v):
+        v = np.asarray(v)
+        return np.exp(1j * np.sum(v, axis=1)) * (1.0 + v[:, 0])
+
+    res = amen_cross_s(xs, fun, 1e-8, nswp=8, kickrank=3, verb=0)
+    mesh = np.meshgrid(*grids, indexing="ij")
+    ref = np.exp(1j * sum(mesh)) * (1.0 + mesh[0])
+    full = np.asarray(tt_full(res.tt))
+    assert np.iscomplexobj(full)
+    assert np.max(np.abs(full - ref)) < 1e-6
