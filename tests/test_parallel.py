@@ -234,12 +234,31 @@ def test_sharded_deep_serve_real_checkpoint():
     assert dirt.nlevels >= 13 and dirt.d == 40
     mesh = sample_mesh(8)
     q = randref("n3", jax.random.PRNGKey(11), (8 * 32, 40))
-    z_ref, lf_ref = tt_dirt_sample(dirt, q)
     q_sh = shard_samples(mesh, jnp.asarray(q))
-    dirt_repl = replicate(mesh, dirt)
-    z_sh, lf_sh = tt_dirt_sample(dirt_repl, q_sh)
+
+    # host-loop serve path on a truncated stack (per-level programs are
+    # identical across levels, so 4 real levels pin the same code as 14
+    # at ~3.5x less compile time — the full suite spent 12 of its 30
+    # minutes compiling this one test's two 14-level programs)
+    short = type(dirt)(dirt.f0, dirt.fs[:4], dirt.x0, dirt.x,
+                       np.asarray(dirt.beta)[:5], dirt.lfshift,
+                       dirt.reference, dirt.interpolation)
+    z_ref, lf_ref = tt_dirt_sample(short, q)
+    z_sh, lf_sh = tt_dirt_sample(replicate(mesh, short), q_sh)
     np.testing.assert_allclose(np.asarray(z_sh), np.asarray(z_ref),
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(lf_sh), np.asarray(lf_ref),
                                atol=1e-10)
     assert len(z_sh.sharding.device_set) == 8
+
+    # the FULL 14-level stack through the fused scan-over-levels
+    # program (one compile regardless of depth, samplers/dirt_scan.py)
+    from tt_irt_tpu.samplers.dirt_scan import can_fuse, dirt_sample_fused
+    assert can_fuse(dirt, dirt.d)
+    zf_ref, lff_ref = dirt_sample_fused(dirt, q, "f64")
+    zf_sh, lff_sh = dirt_sample_fused(replicate(mesh, dirt), q_sh, "f64")
+    np.testing.assert_allclose(np.asarray(zf_sh), np.asarray(zf_ref),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(lff_sh), np.asarray(lff_ref),
+                               atol=1e-10)
+    assert len(zf_sh.sharding.device_set) == 8
