@@ -107,14 +107,18 @@ def test_dim_kernel_matches_xla_serveb():
     try:
         os.environ["TTIRT_DIM_KERNEL"] = "0"
         x0, l0 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
+        qr0, lr0 = ti.tt_rt_sqr(grids, tt, x0, precision="hi")
         os.environ["TTIRT_DIM_KERNEL"] = "1"
         x1, l1 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
-        qb, _ = ti.tt_rt_sqr(grids, tt, x1, precision="hi")
+        qr1, lr1 = ti.tt_rt_sqr(grids, tt, x1, precision="hi")
     finally:
         os.environ.pop("TTIRT_DIM_KERNEL", None)
     assert float(jnp.max(jnp.abs(x1 - x0))) == 0.0
     assert float(jnp.max(jnp.abs(l1 - l0))) == 0.0
-    assert float(jnp.max(jnp.abs(qb - q))) < 1e-5
+    # rt (forward Rosenblatt) through the kernel: bitwise vs XLA too
+    assert float(jnp.max(jnp.abs(qr1 - qr0))) == 0.0
+    assert float(jnp.max(jnp.abs(lr1 - lr0))) == 0.0
+    assert float(jnp.max(jnp.abs(qr1 - q))) < 1e-5
 
 
 def test_dim_kernel_packed_operands():
