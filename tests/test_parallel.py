@@ -217,6 +217,7 @@ def test_sharded_greedy_cross_matches_single_device():
 
 
 @needs_multi
+@pytest.mark.slow
 def test_sharded_deep_serve_real_checkpoint():
     """Multi-chip serve of the SHIPPED Lorenz d=40 checkpoint (14
     levels, n=33, r=23 — the production artifact, VERDICT r02 #6):
