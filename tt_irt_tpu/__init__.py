@@ -45,9 +45,11 @@ from .ops.tt import (  # noqa: E402
     tt_rand,
     tt_round,
     tt_scale,
+    tt_sum_many,
     tt_sum_modes,
     tkron,
 )
+from .ops.interp import lagrange_matrix, tt_sample_lagrange  # noqa: E402
 from .ops.maxvol import localcross, maxvol, maxvol_rect  # noqa: E402
 from .samplers.irt import tt_irt_lin, tt_irt_sqr, tt_rt_sqr  # noqa: E402
 from .samplers.fourier import tt_irt_fourier  # noqa: E402
@@ -69,6 +71,7 @@ from .samplers.diagnostics import (  # noqa: E402
     essinv, hellinger, iact, tt_marginals,
 )
 from .constructors.amen_cross import amen_cross_s  # noqa: E402
+from .constructors.greedy_cross import greedy_cross  # noqa: E402
 from .constructors.dirt_build import tt_dirt_approx  # noqa: E402
 from .constructors.als_cross import als_cross_parametric  # noqa: E402
 
@@ -88,6 +91,9 @@ __all__ = [
     "tt_round",
     "tt_scale",
     "tt_sum_modes",
+    "tt_sum_many",
+    "lagrange_matrix",
+    "tt_sample_lagrange",
     "tkron",
     "localcross",
     "maxvol",
@@ -115,6 +121,7 @@ __all__ = [
     "tt_marginals",
     "rejection_histogram",
     "amen_cross_s",
+    "greedy_cross",
     "tt_dirt_approx",
     "als_cross_parametric",
 ]
