@@ -280,6 +280,18 @@ def tt_round(a: TT, eps: float = 0.0, rmax=None) -> TT:
         cores[k] = np.reshape(u[:, :r], (r1, n, r))
         sv = s[:r, None] * vt[:r, :]
         cores[k + 1] = np.einsum("ab,bic->aic", sv, cores[k + 1])
+    # Norm equilibration: the sweep leaves cores 0..d-2 orthonormal and
+    # the LAST core carrying the entire TT norm — 5e21 on the shipped
+    # lz40n33 sqrt-ratio levels, whose square overflows f32 in the
+    # reduced-precision samplers (every sample NaN).  Per-bond scaling
+    # with a unit product is an exact TT identity; spread the log-norm
+    # evenly so every core sits at a comparable scale.
+    logn = np.array([np.log(max(float(np.linalg.norm(c.ravel())),
+                                1e-300)) for c in cores])
+    shift = logn.mean() - logn
+    shift -= shift.mean()  # unit product, exact up to fp
+    for k in range(d):
+        cores[k] = cores[k] * math.exp(shift[k])
     return TT([jnp.asarray(c) for c in cores])
 
 
