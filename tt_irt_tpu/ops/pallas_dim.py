@@ -57,14 +57,24 @@ def dim_kernel_enabled() -> bool:
         "0", "", "false", "off")
 
 
-def _kernel_pack() -> bool:
-    """In-kernel bf16 K-packing of the two big dots.  Default OFF:
-    the bit-split + 9-way narrow concat makes the Mosaic compile
-    pathological (observed: single-kernel compile >9 min on v5e vs
-    seconds unpacked); unpacked HIGHEST dots compile fast and the
-    kernel is VMEM-resident anyway.  TTIRT_DIM_PACK=1 re-enables."""
-    return os.environ.get("TTIRT_DIM_PACK", "0") not in (
-        "0", "", "false", "off")
+def _kernel_pack() -> int:
+    """In-kernel bf16 K-packing of the two big dots.  0 (default) =
+    OFF: unpacked HIGHEST dots, which compile fast but run each big
+    contraction as 6 MXU passes at K=r/n (<=26% K utilization).
+    1 = the round-3 concat pack: bit-split + 9-way narrow concat —
+    Mosaic compile is pathological (observed: single-kernel compile
+    >9 min on v5e vs seconds unpacked); kept for reference.
+    2 = placement pack: the packed (Mb, 9K) lhs is built by THREE
+    constant 0/1 placement MATMULS on the exact bf16 split parts
+    (sum in f32 is exact — disjoint slots; the f32->bf16 cast of
+    bf16-valued sums is exact), so no lane-misaligned concat reaches
+    Mosaic and both big dots run as ONE bf16 MXU pass at K=9r/9n."""
+    v = os.environ.get("TTIRT_DIM_PACK", "0")
+    if v in ("0", "", "false", "off"):
+        return 0
+    if v in ("2", "place", "placement"):
+        return 2
+    return 1
 
 
 def _tile(m: int) -> int:
@@ -116,6 +126,23 @@ def _select(r: int):
 
 
 @functools.lru_cache(maxsize=64)
+def _place9(k: int):
+    """(3k, 9k) f32 0/1 placement matrices for the pack9 lhs layout
+    [ah, ah, am, am, ah, al, am, al, al] (irt_scan._pack9_lhs): row
+    block p (the h/m/l part) scatters the identity into its K-slots,
+    so  pe9 = h @ P[:k] + m @ P[k:2k] + l @ P[2k:]  equals
+    _pack9_lhs exactly (disjoint slots -> the f32 sum is exact, and
+    every value is bf16-representable)."""
+    slots = ((0, 1, 4), (2, 3, 6), (5, 7, 8))
+    p = np.zeros((3 * k, 9 * k), np.float32)
+    for part, ss in enumerate(slots):
+        for s in ss:
+            p[part * k:(part + 1) * k, s * k:(s + 1) * k] = np.eye(
+                k, dtype=np.float32)
+    return p
+
+
+@functools.lru_cache(maxsize=64)
 def _prefix_suffix(nm1: int):
     idx = np.arange(nm1)
     lmat = (idx[:, None] <= idx[None, :]).astype(np.float32)
@@ -161,22 +188,35 @@ def _invert_quadratic32(f1, f2, c1, q, x1, x2):
     return jnp.clip(xk, x1, x2)
 
 
-def _dim_kernel(rt: bool, n: int, r: int, pack: bool,
+def _dim_kernel(rt: bool, n: int, r: int, pack: int,
                 phi_ref, qp_ref, um_ref, b9_ref, c9_ref, d_ref, lu_ref,
-                h_ref, xg_ref, s_ref, e3_ref, s2_ref,
+                h_ref, xg_ref, s_ref, e3_ref, s2_ref, pb_ref, pw_ref,
                 phin_ref, out9_ref):
     t = phi_ref.shape[0]
     phi = phi_ref[:]                                        # (T, r) f32
 
-    def bigdot(lhs, rhs_ref):
-        # rhs arrives 9-K-packed; unpacked mode reconstructs the f32
-        # operand from its exact bf16 parts (rows 0, 2, 5 of each
-        # 3-block are the h/m/l parts of the plain matrix; summing the
-        # pack rows per K-slice recovers... simpler: HIGHEST dot on the
-        # packed rhs with a packed f32 lhs is wasteful, so unpacked
-        # mode uses separate f32 operands passed via the same ref) --
-        # see dim_step: in unpacked mode b9/c9 hold the PLAIN f32
-        # matrices and this is one HIGHEST dot.
+    def place9(x, p_ref):
+        # pack9 lhs via three 0/1 placement matmuls on the exact bf16
+        # split parts: disjoint slots -> the f32 sum is exact and the
+        # final cast back to bf16 is exact (values are bf16 parts).
+        # No lane-misaligned concat reaches Mosaic (the concat pack's
+        # compile pathology).
+        h, m, l = _bf16_parts3_k(x)
+        k = x.shape[-1]
+        pe = (jnp.dot(h, p_ref[:k], preferred_element_type=jnp.float32)
+              + jnp.dot(m, p_ref[k:2 * k],
+                        preferred_element_type=jnp.float32)
+              + jnp.dot(l, p_ref[2 * k:],
+                        preferred_element_type=jnp.float32))
+        return pe.astype(jnp.bfloat16)
+
+    def bigdot(lhs, rhs_ref, p_ref):
+        # rhs arrives 9-K-packed in pack modes; in unpacked mode b9/c9
+        # hold the PLAIN f32 matrices and this is one HIGHEST dot --
+        # see dim_step.
+        if pack == 2:
+            return jnp.dot(place9(lhs, p_ref), rhs_ref[:],
+                           preferred_element_type=jnp.float32)
         if pack:
             return jnp.dot(_pack9_k(lhs), rhs_ref[:],
                            preferred_element_type=jnp.float32)
@@ -184,7 +224,7 @@ def _dim_kernel(rt: bool, n: int, r: int, pack: bool,
                        preferred_element_type=jnp.float32)
 
     # ---- conditional: v = phi @ B ----
-    v = bigdot(phi, b9_ref)                                 # (T, n*r)
+    v = bigdot(phi, b9_ref, pb_ref)                         # (T, n*r)
     fk = jnp.dot(v * v, s_ref[:], precision=_HI,
                  preferred_element_type=jnp.float32)        # (T, n)
     # ---- two-sided trapezoid CDF ----
@@ -247,8 +287,16 @@ def _dim_kernel(rt: bool, n: int, r: int, pack: bool,
     la = jnp.clip((x2 - xk) / (x2 - x1), 0.0, 1.0)
     w = la * oh0 + (1.0 - la) * oh1                         # (T, n)
     # ---- prefix update: phi' = phi @ (w-interp core) ----
-    b = bigdot(w, c9_ref)                                   # (T, r*r)
-    if pack:
+    b = bigdot(w, c9_ref, pw_ref)                           # (T, r*r)
+    if pack == 2:
+        # exact phi replication: 0/1 e3 on the exact bf16 parts,
+        # summed in f32 (no concat)
+        ph_, pm_, pl_ = _bf16_parts3_k(phi)
+        e3 = e3_ref[:]
+        pe = (jnp.dot(ph_, e3, preferred_element_type=jnp.float32)
+              + jnp.dot(pm_, e3, preferred_element_type=jnp.float32)
+              + jnp.dot(pl_, e3, preferred_element_type=jnp.float32))
+    elif pack:
         pe = jnp.dot(_pack3_k(phi), e3_ref[:],
                      preferred_element_type=jnp.float32)    # (T, r*r)
     else:
@@ -266,10 +314,10 @@ def dim_step(phi, qp32, um32, bmat, cmat, dmat, hrow, xg, mode="irt"):
     (samplers/irt_scan._serve_solve).
 
     bmat/cmat: the factor matrix (r, n*r) and unfolded core (n, r*r).
-    With TTIRT_DIM_PACK=1 they must arrive 9-K-packed bf16
+    With TTIRT_DIM_PACK=1/2 they must arrive 9-K-packed bf16
     ((9r, n*r)/(9n, r*r), irt_scan._pack9_rhs) and the kernel rebuilds
-    the packed lhs in-VMEM; default is plain f32 + HIGHEST dots (the
-    packed kernel's Mosaic compile is pathological, see _kernel_pack)."""
+    the packed lhs in-VMEM (mode 2 = placement matmuls, no concat —
+    see _kernel_pack); default is plain f32 + HIGHEST dots."""
     m, r = phi.shape
     pack = _kernel_pack()
     nr = bmat.shape[1]
@@ -282,8 +330,14 @@ def dim_step(phi, qp32, um32, bmat, cmat, dmat, hrow, xg, mode="irt"):
     row = lambda cols: pl.BlockSpec((t, cols), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
     kw = 9 if pack else 1
-    e3 = _repl3(r) if pack else _repl3(r)[:r]
+    e3 = _repl3(r) if pack == 1 else _repl3(r)[:r]
     e3 = jnp.asarray(e3, jnp.bfloat16 if pack else jnp.float32)
+    # placement matrices (pack mode 2; tiny dummies otherwise so the
+    # kernel arity is static)
+    pb = jnp.asarray(_place9(r) if pack == 2 else np.zeros((1, 1)),
+                     jnp.bfloat16)
+    pw = jnp.asarray(_place9(n) if pack == 2 else np.zeros((1, 1)),
+                     jnp.bfloat16)
     with jax.enable_x64(False):
         phin, out9 = pl.pallas_call(
             kern,
@@ -295,6 +349,7 @@ def dim_step(phi, qp32, um32, bmat, cmat, dmat, hrow, xg, mode="irt"):
                 const((1, n - 1)), const((2, n)),
                 const((nr, n)), const(tuple(e3.shape)),
                 const((r * r, r)),
+                const(tuple(pb.shape)), const(tuple(pw.shape)),
             ],
             out_specs=[row(r), row(9)],
             out_shape=[
@@ -309,5 +364,5 @@ def dim_step(phi, qp32, um32, bmat, cmat, dmat, hrow, xg, mode="irt"):
           um32[:, None].astype(jnp.float32), bmat, cmat,
           dmat, jnp.asarray(_prefix_suffix(n - 1)), hrow, xg,
           jnp.asarray(_seg_sum(n, r)), e3,
-          jnp.asarray(_select(r)))
+          jnp.asarray(_select(r)), pb, pw)
     return phin, out9
