@@ -122,7 +122,10 @@ def _deep_serve_bench():
                       "examples", "data", "lz40n33_ck")
     dirt = load_dirt(ck)
     d = dirt.d
-    log2m = int(os.environ.get("BENCH_DEEP_LOG2M", 18))
+    # 2^20 is the headline config: per-level fixed costs (dispatch,
+    # transposes, f64 epilogue setup) amortize over 4 blocks — measured
+    # 94.8k samples/s at 2^20 vs ~77k/s at 2^18 (BENCH_NOTES round 3)
+    log2m = int(os.environ.get("BENCH_DEEP_LOG2M", 20))
     m = 1 << log2m
     precision = os.environ.get("BENCH_DEEP_PRECISION") or \
         ti.serve_precision(dirt)

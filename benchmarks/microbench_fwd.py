@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--d", type=int, default=40)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--precision", default="hi")
+    ap.add_argument("--block", type=int, default=None,
+                    help="forward block size (default auto_block)")
     ap.add_argument("--configs", default="xla,k1024,k4096:100")
     args = ap.parse_args()
 
@@ -56,7 +58,7 @@ def main():
     f = ti.TT([jnp.asarray(c) for c in cores])
     grids = [np.linspace(-3.0, 3.0, n)] * d
     q = jnp.asarray(rng.uniform(size=(m, d)))
-    block = auto_block(m)
+    block = args.block or auto_block(m)
 
     stable = jax.default_backend() != "tpu"
     fused = _use_fused("sqr", args.precision)

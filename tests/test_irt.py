@@ -274,3 +274,68 @@ def test_gram_carry_matches_qr_path(rng):
                                atol=1e-7)
     np.testing.assert_allclose(np.asarray(lf_g), np.asarray(lf_s),
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# IrtSampler: prepare-once serving wrapper
+# ---------------------------------------------------------------------------
+
+def _random_positive_tt(rng, d=5, n=17, r=6):
+    cores = []
+    for k in range(d):
+        r1 = 1 if k == 0 else r
+        r2 = 1 if k == d - 1 else r
+        cores.append(rng.standard_normal((r1, n, r2)) / np.sqrt(r) + 0.4)
+    return TT([jnp.asarray(c) for c in cores])
+
+
+def test_irt_sampler_matches_oneshot(rng):
+    """IrtSampler('sqr'/'rt'/'lin') is bitwise tt_irt_sqr/tt_rt_sqr/
+    tt_irt_lin (same prep + forward kernels), and repeated calls reuse
+    the cached prep (no per-call backward marginalization — the
+    prepare/serve split of DirtSampler for a single TT)."""
+    from tt_irt_tpu import IrtSampler
+
+    f = _random_positive_tt(rng)
+    grids = [np.linspace(-2.0, 2.0, 17)] * 5
+    q = jnp.asarray(rng.uniform(size=(256, 5)))
+
+    for mode, fn in (("sqr", tt_irt_sqr), ("lin", tt_irt_lin)):
+        s = IrtSampler(grids, f, mode=mode)
+        x0, lf0 = fn(grids, f, q)
+        x1, lf1 = s(q)
+        assert np.array_equal(np.asarray(x0), np.asarray(x1)), mode
+        assert np.array_equal(np.asarray(lf0), np.asarray(lf1)), mode
+        x2, _ = s(q)  # second call: cached prep, same result
+        assert np.array_equal(np.asarray(x1), np.asarray(x2)), mode
+
+    sx = IrtSampler(grids, f, mode="sqr", precision="hi")
+    x, _ = sx(q)
+    srt = IrtSampler(grids, f, mode="rt", precision="hi")
+    q2, _ = srt(x)
+    assert float(jnp.max(jnp.abs(q2 - q))) < 1e-5
+
+
+def test_irt_sampler_fallback_nonuniform(rng):
+    """Grids of unequal sizes disable the padded-scan path; IrtSampler
+    must fall back to the general per-call path with identical
+    results."""
+    from tt_irt_tpu import IrtSampler
+
+    d = 3
+    sizes = [17, 9, 13]
+    cores = []
+    for k in range(d):
+        r1 = 1 if k == 0 else 4
+        r2 = 1 if k == d - 1 else 4
+        cores.append(jnp.asarray(
+            rng.standard_normal((r1, sizes[k], r2)) / 2.0 + 0.4))
+    f = TT(cores)
+    grids = [np.linspace(-1.0, 1.0, s) for s in sizes]
+    q = jnp.asarray(rng.uniform(size=(128, d)))
+    s = IrtSampler(grids, f, mode="sqr")
+    assert s._prep is None
+    x0, lf0 = tt_irt_sqr(grids, f, q)
+    x1, lf1 = s(q)
+    assert np.array_equal(np.asarray(x0), np.asarray(x1))
+    assert np.array_equal(np.asarray(lf0), np.asarray(lf1))

@@ -61,7 +61,7 @@ from .samplers.dirt import (  # noqa: E402
     tt_dirt_inverse,
     tt_dirt_sample,
 )
-from .samplers.serve import DirtSampler  # noqa: E402
+from .samplers.serve import DirtSampler, IrtSampler  # noqa: E402
 from .samplers.debias import (  # noqa: E402
     iw_prune, mcmc_prune, rejection_histogram, tt_irt_debias,
 )
@@ -108,6 +108,7 @@ __all__ = [
     "serve_precision",
     "dirt_round",
     "DirtSampler",
+    "IrtSampler",
     "tt_dirt_inverse",
     "mcmc_prune",
     "iw_prune",

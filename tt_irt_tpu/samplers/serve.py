@@ -47,7 +47,68 @@ from .reference import (
     tnormal_to_uniform,
 )
 
-__all__ = ["DirtSampler"]
+__all__ = ["DirtSampler", "IrtSampler"]
+
+
+class IrtSampler:
+    """Prepared single-TT Rosenblatt transform: the backward
+    marginalization (f64 on TPU — ~2.5 s per call at the Lorenz-40
+    production shape, measured benchmarks/microbench_fwd.py) runs once
+    at construction; calls are forward passes only.
+
+        sampler = IrtSampler(grids, f, precision="hi")
+        x1, lf1 = sampler(q1)      # steady-state: forward only
+        x2, lf2 = sampler(q2)
+
+    Bitwise-identical to ``tt_irt_sqr``/``tt_rt_sqr``/``tt_irt_lin``
+    (same prep/forward kernels; tests/test_irt.py pins it).
+
+    Args:
+      grid: list of d grid vectors (or concatenated vector).
+      f: TT of sqrt(PDF) ('sqr'/'rt') or PDF ('lin') on the grid.
+      mode: 'sqr' (inverse Rosenblatt), 'rt' (forward), or 'lin'.
+      precision: scan-path precision ('f64'/'f32'/'mixed'/'hi'/'hid'/
+        'ds'); None = dtype default.
+      block: forward block size (default auto_block).
+
+    Falls back to the per-call general path when the rank-padded scan
+    does not apply (non-uniform grid sizes); the prepare-once benefit
+    then does not apply, but the API stays total.
+    """
+
+    def __init__(self, grid, f, mode: str = "sqr",
+                 precision: str | None = None, block: int | None = None):
+        if mode not in ("sqr", "rt", "lin"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.mode = mode
+        self.block = block
+        grids, fc = _canon_grid(grid, f)
+        if precision is None:
+            precision = "f64" if fc.dtype == jnp.float64 else "f32"
+        self.precision = precision
+        self._grid, self._f = grid, f
+        self._prep = None
+        self._fused = _use_fused(mode, precision)
+        if can_use_scan(fc, grids, fc.d):
+            stable = jax.default_backend() != "tpu"
+            cs, xs = stack_padded(fc, grids)
+            self._prep = _prep_jit(mode, cs, xs, precision, stable,
+                                   fused=self._fused)
+
+    def sample(self, q):
+        """Transform seeds (IRT/lin) or samples (rt); returns (x, lf)."""
+        q = jnp.asarray(q)
+        if self._prep is None:
+            from .irt import tt_irt_lin, tt_rt_sqr
+            fn = {"sqr": tt_irt_sqr, "rt": tt_rt_sqr,
+                  "lin": tt_irt_lin}[self.mode]
+            return fn(self._grid, self._f, q, block=self.block,
+                      precision=self.precision)
+        block = auto_block(q.shape[0], self.block)
+        return fwd_blocked(self.mode, self.precision, self._prep, q,
+                           block, self._fused)
+
+    __call__ = sample
 
 
 class DirtSampler:
