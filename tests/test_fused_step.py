@@ -96,48 +96,65 @@ def test_fused_rt_roundtrip():
     assert float(jnp.max(jnp.abs(qb - q))) < 1e-5
 
 
-def test_dim_kernel_matches_xla_serveb():
-    """The merged whole-dim kernel (ops/pallas_dim.py) must reproduce
-    the XLA 'serveb' scan body exactly: same f32 row math, same
-    one-hot bracket reads, same batched f64 epilogue — on CPU
-    (interpret mode) the outputs are bitwise equal."""
+def test_dim_kernel_matches_xla_serveb(monkeypatch):
+    """The merged whole-dim kernel (ops/pallas_dim.py) reproduces the
+    raw-factor XLA 'serveb' scan body: same f32 row math, same one-hot
+    bracket reads, same batched f64 epilogue.  The ortho default is
+    disabled here (the kernel keeps the raw-core operands), and caches
+    are cleared around each toggle so both programs really trace (env
+    flags are not part of the jit cache key — the earlier 'bitwise'
+    form of this test compared a stale cached program against itself).
+    Interpret-mode accumulation order differs from the compiled XLA
+    matmuls at the f32 floor, so parity is tolerance-banded at the
+    same ~1e-7 class the kernel shows vs f64 (BENCH_NOTES)."""
+    from tt_irt_tpu.samplers import irt_scan as isc
+    monkeypatch.setattr(isc, "_HI_ORTHO_ENV", "0")
     tt, grids = _mk_tt(d=6, n=17, r=5, seed=11)
     rng = np.random.default_rng(13)
     q = jnp.asarray(rng.uniform(size=(512, 6)))
     try:
         os.environ["TTIRT_DIM_KERNEL"] = "0"
+        jax.clear_caches()
         x0, l0 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
         qr0, lr0 = ti.tt_rt_sqr(grids, tt, x0, precision="hi")
         os.environ["TTIRT_DIM_KERNEL"] = "1"
+        jax.clear_caches()
         x1, l1 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
         qr1, lr1 = ti.tt_rt_sqr(grids, tt, x1, precision="hi")
     finally:
         os.environ.pop("TTIRT_DIM_KERNEL", None)
-    assert float(jnp.max(jnp.abs(x1 - x0))) == 0.0
-    assert float(jnp.max(jnp.abs(l1 - l0))) == 0.0
-    # rt (forward Rosenblatt) through the kernel: bitwise vs XLA too
-    assert float(jnp.max(jnp.abs(qr1 - qr0))) == 0.0
-    assert float(jnp.max(jnp.abs(lr1 - lr0))) == 0.0
+        jax.clear_caches()
+    assert float(jnp.max(jnp.abs(x1 - x0))) < 1e-6
+    assert float(jnp.max(jnp.abs(l1 - l0))) < 1e-5
+    # rt (forward Rosenblatt) through the kernel vs XLA
+    assert float(jnp.max(jnp.abs(qr1 - qr0))) < 1e-6
+    assert float(jnp.max(jnp.abs(lr1 - lr0))) < 1e-5
     assert float(jnp.max(jnp.abs(qr1 - q))) < 1e-5
 
 
-def test_dim_kernel_packed_operands():
+def test_dim_kernel_packed_operands(monkeypatch):
     """With the 9-product hi-pack prep (TTIRT_HI_PACK=9) the kernel
     branch must unpack the exact bf16 parts back to the plain f32
     operands (h + m + l == original bitwise), so results again match
     the packed XLA path."""
+    from tt_irt_tpu.samplers import irt_scan as isc
+    monkeypatch.setattr(isc, "_HI_ORTHO_ENV", "0")
     tt, grids = _mk_tt(d=6, n=17, r=5, seed=17)
     rng = np.random.default_rng(19)
     q = jnp.asarray(rng.uniform(size=(256, 6)))
     try:
         os.environ["TTIRT_HI_PACK"] = "9"
+        monkeypatch.setattr(isc, "_HI_PACK_ENV", "9")
         os.environ["TTIRT_DIM_KERNEL"] = "0"
+        jax.clear_caches()
         x0, l0 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
         os.environ["TTIRT_DIM_KERNEL"] = "1"
+        jax.clear_caches()
         x1, l1 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
     finally:
         os.environ.pop("TTIRT_DIM_KERNEL", None)
         os.environ.pop("TTIRT_HI_PACK", None)
+        jax.clear_caches()
     # packed XLA body computes fk from bf16-product dots; the kernel
     # recomputes it from the reconstructed f32 operands at HIGHEST —
     # same quantity, different rounding path: tolerance-banded.

@@ -107,6 +107,21 @@ _STREAMS = int(_os.environ.get("TTIRT_STREAMS", "1"))
 # (a compiler-behavior probe; no measured advantage over 6/9).
 _HI_PACK_ENV = _os.environ.get("TTIRT_HI_PACK", "")
 
+# TTIRT_HI_ORTHO=0 disables the orthonormal-core serveb path ('hi'
+# factor family): prep right-orthogonalizes the cores against the
+# trapezoid weights (Q_k = L_k^{-1} C_k L_{k+1}, f64), so the forward
+# prefix update is a 2-point readout of the conditional matrix v
+# instead of the (Mb,n)x(n,r^2) core matmul — removing the bdot stage
+# (~37% of the serveb scan at the d=40 production shape) entirely.
+# Orthonormality (sum_x w2 Q Q^T = I) bounds the Q rows, so the f32
+# carry has RELATIVE eps error along every direction — the same basis
+# the reference's QR marginalization samples in (tt_irt_sqr.m:63-80).
+_HI_ORTHO_ENV = _os.environ.get("TTIRT_HI_ORTHO", "")
+
+
+def _hi_ortho() -> bool:
+    return _HI_ORTHO_ENV not in ("0", "false")
+
 
 def _hi_pack() -> int:
     """Resolved pack width: 0 = unpacked HIGHEST matmuls."""
@@ -301,7 +316,7 @@ def _prepare_scan(cstack, xstack, stable: bool = False):
     return jnp.flip(p_rev, 0), hstack                      # (d, r, r, n)
 
 
-def _prepare_scan_factor(cstack, xstack):
+def _prepare_scan_factor(cstack, xstack, ortho: bool = False):
     """Backward semi-marginalization in FACTOR form, f64 throughout.
 
     Carries the suffix Gram G_k in f64 and emits the per-dim factor
@@ -311,7 +326,16 @@ def _prepare_scan_factor(cstack, xstack):
     of squares ||phi @ B_k(j)||^2, which keeps the RELATIVE error of
     low-density tails at the working-precision floor instead of the
     absolute floor the Gram form has.  Cost: d Cholesky factorizations
-    of r x r — negligible even under TPU f64 emulation."""
+    of r x r — negligible even under TPU f64 emulation.
+
+    ``ortho=True`` emits the weighted-right-orthonormal cores
+    Q_k = L_k^{-1} B_k instead (sum_x w2[x] Q_k(x) Q_k(x)^T = I up to
+    the Cholesky jitter): the forward carry is then psi_k = phi_k L_k
+    and the prefix update is psi_k = la*v[i0] + lb*v[i0+1], a 2-point
+    readout of the conditional matrix v = psi_{k-1} Q_k — no second
+    core matmul per dim (see _step_factor_ob).  Conditionals and
+    samples are identical in exact arithmetic (per-dim scalar factors
+    cancel in the normalized CDF)."""
     cstack = cstack.astype(jnp.float64)
     xstack = xstack.astype(jnp.float64)
     d, r, n, _ = cstack.shape
@@ -347,7 +371,19 @@ def _prepare_scan_factor(cstack, xstack):
         gnew = jnp.einsum("anc,bnc,n->ab", b, b, w2k)
         gnew = 0.5 * (gnew + gnew.T)
         scale = jnp.maximum(jnp.max(jnp.abs(gnew)), 1e-300)
-        return gnew / scale, b
+        gnew = gnew / scale
+        if ortho:
+            # Q_k = L_k^{-1} B_k (padded lanes stay exactly zero: their
+            # B rows and L off-diagonals are zero).  The prefix scale
+            # factors sqrt(scale_k) cancel in the normalized CDF.
+            lnew = chol_jittered(gnew)
+            out = jnp.reshape(
+                jax.scipy.linalg.solve_triangular(
+                    lnew, jnp.reshape(b, (r, n * r)), lower=True),
+                (r, n, r))
+        else:
+            out = b
+        return gnew, out
 
     rev = (jnp.flip(cstack, 0), jnp.flip(w2, 0))
     _, b_rev = jax.lax.scan(body, eye, rev)
@@ -888,6 +924,39 @@ def _step_factor_b(mode, n, packed, carry, inp):
     return phi, out9
 
 
+def _step_factor_ob(mode, n, packed, carry, inp):
+    """_step_factor_b on weighted-right-orthonormal cores (ortho prep,
+    _prepare_scan_factor(ortho=True)): the carried interface is
+    psi_k = phi_k L_k, so the prefix update is the 2-point readout
+    psi = la*v[i0] + lb*v[i0+1] of the already-computed conditional
+    matrix v — the (Mb,n)x(n,r^2) core matmul, its bf16 packing and
+    the (Mb,r,r)-batched prefix einsum (the 'bdot' stage, ~37% of the
+    serveb scan at the d=40 production shape, BENCH_NOTES round 3) all
+    disappear.  Orthonormality keeps ||Q rows|| bounded, so the f32
+    psi carry has relative-eps error in every direction regardless of
+    the suffix-Gram condition number (measured up to 5e12 on the
+    shipped lz40n33 checkpoint)."""
+    psi = carry                                            # (Mb, r) f32
+    qmat, x32, xlo, h32, qp32, um32 = inp
+    mb, r = psi.shape
+    plhs = _pack9_lhs if packed == 9 else _pack6_lhs
+    if packed:
+        v = jnp.dot(plhs(psi), qmat,
+                    preferred_element_type=jnp.float32)    # (Mb, n*r)
+    else:
+        v = jnp.matmul(psi, qmat, precision=_HI)
+    v = jnp.reshape(v, (mb, n, r))
+    fk = jnp.sum(v * v, axis=2)                            # (Mb, n) f32
+    out9, oh0, oh1, la, lb = _cdf_rows32(mode, n, fk, x32, xlo, h32,
+                                         qp32, um32)
+    w = la[:, None] * oh0 + lb[:, None] * oh1              # (Mb, n)
+    psi = jnp.einsum("mn,mnr->mr", w, v)                   # VPU readout
+    scale = jnp.maximum(jnp.max(jnp.abs(psi), axis=1, keepdims=True),
+                        jnp.asarray(1e-30, psi.dtype))
+    psi = psi / scale
+    return psi, out9
+
+
 def _step_factor_fused(mode, n, carry, inp):
     """_step_factor with the two big contractions fused into Pallas
     kernels (ops/pallas_step.py): the (Mb, n*r) factor product and the
@@ -927,19 +996,28 @@ def _serve_solve(mode, out9, i0, qp):
         cr_ = tot - (f2 * yk - aq * yk * yk + cr2)
         out = jnp.where(cl_ > 0.5 * tot, cr_, cl_) / tot
     else:
-        qt = qp * tot
-        ut = (1.0 - qp) * tot
         # selector must match the in-kernel/in-scan f32 bracket choice
         # exactly at rounding-boundary seeds (qp in (0.5, 0.5 + 2^-25)
         # rounds to f32 0.5): derive it from the same f32 value
         right = qp.astype(jnp.float32) > 0.5
-        xl_ = _invert_quadratic(f1, f2, c1, qt, x1, x2)
-        xr_ = -_invert_quadratic(f2, f1, cr2, ut, -x2, -x1)
-        xk = jnp.where(right, xr_, xl_)
+        # select the one-sided solve's OPERANDS instead of computing
+        # both solves: the emulated-f64 sqrt/div chain in
+        # _invert_quadratic is the expensive part of this epilogue
+        # (~25% of a serve level was epilogue+fixed costs), and the
+        # where-merge is bitwise identical to solving both sides
+        ta = jnp.where(right, (1.0 - qp) * tot, qp * tot)
+        fa = jnp.where(right, f2, f1)
+        fb = jnp.where(right, f1, f2)
+        ca = jnp.where(right, cr2, c1)
+        ua = jnp.where(right, -x2, x1)
+        ub = jnp.where(right, -x1, x2)
+        xs_ = _invert_quadratic(fa, fb, ca, ta, ua, ub)
+        xk = jnp.where(right, -xs_, xs_)
         out = xk
-    la = (x2 - xk) / (x2 - x1)
-    lb = (xk - x1) / (x2 - x1)
-    dlf = jnp.log(f1 * la + f2 * lb) - jnp.log(tot)
+    inv21 = 1.0 / (x2 - x1)
+    la = (x2 - xk) * inv21
+    lb = (xk - x1) * inv21
+    dlf = jnp.log((f1 * la + f2 * lb) / tot)
     return out, dlf, la, lb
 
 
@@ -1026,6 +1104,19 @@ def _use_fused(mode, precision) -> int:
     return min(lvl, 2 if fam == "factor" else 1)
 
 
+def _ortho_applies(mode, precision, fused) -> bool:
+    """The orthonormal-core serve path replaces the factor family
+    exactly where the batched-epilogue ('serveb') branch runs; the
+    merged Pallas dim kernel and the two-stream/fused variants keep
+    the raw-core factor operands."""
+    from ..ops.pallas_dim import dim_kernel_enabled
+
+    _, _, fam, cdfk = _PRECISIONS[precision]
+    return (fam == "factor" and mode in ("sqr", "rt") and _hi_ortho()
+            and cdfk == "serveb" and not fused and _STREAMS != 2
+            and _hi_pack() != 62 and not dim_kernel_enabled())
+
+
 def _prep(mode, cstack, xstack, precision, stable, fused=False):
     """Backward preparation; returns the pytree the forward pass scans
     over (everything except the per-block seeds)."""
@@ -1049,6 +1140,17 @@ def _prep(mode, cstack, xstack, precision, stable, fused=False):
             return (pmat, cmat, xs, hstack.astype(pdt))
         return (pstack, cs, xs, hstack.astype(pdt))
     # factor families prepare in f64 and downcast the emitted factor
+    if family == "factor" and _ortho_applies(mode, precision, fused):
+        qstack, hstack = _prepare_scan_factor(cstack, xstack,
+                                              ortho=True)
+        d, r, n, _ = qstack.shape
+        qmat = jnp.reshape(qstack, (d, r, n * r)).astype(jnp.float32)
+        pw = _hi_pack()
+        if pw and (precision == "hi" or _HI_PACK_ENV):
+            pk = _pack9_rhs if pw == 9 else _pack6_rhs
+            qmat = pk(qmat)
+        return (qmat, xstack.astype(jnp.float64),
+                hstack.astype(jnp.float64))
     bstack, hstack = _prepare_scan_factor(cstack, xstack)
     d, r, n, _ = bstack.shape
     bmat = jnp.reshape(bstack, (d, r, n * r))
@@ -1103,6 +1205,33 @@ def _fwd(mode, precision, prep, q, fused=False):
         (_, lf), outs = jax.lax.scan(
             partial(_step, mode, n, jnp.dtype(pdt)), (phi0, lf0), xsq)
         return outs.T, lf
+    if family == "factor" and len(prep) == 3:
+        # orthonormal-core serveb path (_ortho_applies): pure f32/bf16
+        # scan with the 2-point prefix readout, one f64 epilogue
+        qmat, xs, hs = prep
+        kr = qmat.shape[1]
+        packed = 0
+        if qmat.dtype == jnp.bfloat16:
+            packed = 9 if _hi_pack() == 9 else 6
+            kr //= packed
+        r = kr
+        n = qmat.shape[2] // r
+        x32s = xs.astype(jnp.float32)
+        xlos = (xs - x32s.astype(jnp.float64)).astype(jnp.float32)
+        h32s = hs.astype(jnp.float32)
+        q64 = q.astype(jnp.float64).T                     # (d, mb)
+        qp32 = q64.astype(jnp.float32)
+        um32 = (1.0 - q64).astype(jnp.float32)
+        psi0 = jnp.zeros((mb, r), jnp.float32).at[:, 0].set(1.0)
+        _, outs9 = jax.lax.scan(
+            partial(_step_factor_ob, mode, n, packed), psi0,
+            (qmat, x32s, xlos, h32s, qp32, um32))
+        dd = outs9.shape[0]
+        out, dlf, _, _ = _serve_solve(
+            mode, jnp.reshape(outs9, (dd * mb, 9)), None,
+            jnp.reshape(q64, (dd * mb,)))
+        lf = jnp.sum(jnp.reshape(dlf, (dd, mb)), axis=0)
+        return jnp.reshape(out, (dd, mb)).T, lf
     if family == "factor":
         bmat, cmat, xs, hs = prep
         d = bmat.shape[0]
