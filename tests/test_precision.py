@@ -156,33 +156,36 @@ def test_hi_pack_policy_and_parity(monkeypatch):
 
 
 def test_hi_ortho_policy_and_parity(monkeypatch):
-    """The 'hi' serveb path runs on weighted-right-orthonormal cores by
-    default (irt_scan._prepare_scan_factor(ortho=True)): the prefix
-    update is a 2-point readout of the conditional matrix v, removing
-    the (Mb,n)x(n,r^2) core matmul per dim (~37% of the serveb scan at
-    the d=40 production shape).  This pins (a) that the ortho path is
-    actually selected, (b) stress parity vs f64 in the same class as
-    the raw-factor path, (c) agreement between the two algorithms, and
-    (d) the rt roundtrip through ortho."""
+    """The opt-in orthonormal-core serveb path (TTIRT_HI_ORTHO=1,
+    irt_scan._prepare_scan_factor(ortho=True)): the prefix update is a
+    2-point readout of the conditional matrix v, removing the
+    (Mb,n)x(n,r^2) core matmul per dim.  Opt-in (measured slower on
+    v5e: XLA materializes v for the second consumer — see the
+    _HI_ORTHO_ENV comment), but numerically first-class: this pins
+    (a) the default-off policy, (b) stress parity vs f64 in the same
+    class as the raw-factor path, (c) agreement between the two
+    algorithms, and (d) the rt roundtrip through ortho."""
     from tt_irt_tpu.samplers import irt_scan as isc
+    assert not isc._ortho_applies("sqr", "hi", False)    # default OFF
+    monkeypatch.setattr(isc, "_HI_ORTHO_ENV", "1")
     assert isc._ortho_applies("sqr", "hi", False)
     assert not isc._ortho_applies("sqr", "hid", False)   # ds rows keep
     # the raw-factor operands (cdfk != 'serveb')
+    jax.clear_caches()
 
     tt, grids = stress_tt(d=40, n=17, rank=7)
     q = jnp.asarray(tail_seeds(2048, 40))
-    xr, lr = ti.tt_irt_sqr(grids, tt, q, precision="f64")
-    x1, l1 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
-    assert float(jnp.max(jnp.abs(x1 - xr))) < 1e-5
-    assert float(jnp.max(jnp.abs(l1 - lr))) < 1e-4
-
-    q2, _ = ti.tt_rt_sqr(grids, tt, x1, precision="hi")
-    assert float(jnp.max(jnp.abs(q2 - q))) < 1e-5
-
-    monkeypatch.setattr(isc, "_HI_ORTHO_ENV", "0")
-    assert not isc._ortho_applies("sqr", "hi", False)
-    jax.clear_caches()
     try:
+        xr, lr = ti.tt_irt_sqr(grids, tt, q, precision="f64")
+        x1, l1 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
+        assert float(jnp.max(jnp.abs(x1 - xr))) < 1e-5
+        assert float(jnp.max(jnp.abs(l1 - lr))) < 1e-4
+
+        q2, _ = ti.tt_rt_sqr(grids, tt, x1, precision="hi")
+        assert float(jnp.max(jnp.abs(q2 - q))) < 1e-5
+
+        monkeypatch.setattr(isc, "_HI_ORTHO_ENV", "")
+        jax.clear_caches()
         x0, l0 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
         assert float(jnp.max(jnp.abs(x1 - x0))) < 1e-5
         assert float(jnp.max(jnp.abs(l1 - l0))) < 1e-4

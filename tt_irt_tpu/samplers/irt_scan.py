@@ -107,20 +107,29 @@ _STREAMS = int(_os.environ.get("TTIRT_STREAMS", "1"))
 # (a compiler-behavior probe; no measured advantage over 6/9).
 _HI_PACK_ENV = _os.environ.get("TTIRT_HI_PACK", "")
 
-# TTIRT_HI_ORTHO=0 disables the orthonormal-core serveb path ('hi'
+# TTIRT_HI_ORTHO=1 enables the orthonormal-core serveb path ('hi'
 # factor family): prep right-orthogonalizes the cores against the
 # trapezoid weights (Q_k = L_k^{-1} C_k L_{k+1}, f64), so the forward
 # prefix update is a 2-point readout of the conditional matrix v
-# instead of the (Mb,n)x(n,r^2) core matmul — removing the bdot stage
-# (~37% of the serveb scan at the d=40 production shape) entirely.
+# instead of the (Mb,n)x(n,r^2) core matmul — the bdot stage (~37% of
+# the serveb scan at the d=40 production shape) disappears.
 # Orthonormality (sum_x w2 Q Q^T = I) bounds the Q rows, so the f32
 # carry has RELATIVE eps error along every direction — the same basis
 # the reference's QR marginalization samples in (tt_irt_sqr.m:63-80).
+#
+# OPT-IN, measured SLOWER on v5e (6.30 vs 4.43 ms/dim at the d=40
+# production shape, benchmarks/probe_ortho2.py): with a second
+# consumer of v, XLA stops fusing the conditional square-sum into the
+# vdot epilogue and materializes v for two full reads (+~2.4 GB/dim),
+# outweighing the ~1.7 GB/dim the removed bdot chain saves.  Kept as
+# the numerically-preferred basis for a future fused (Pallas)
+# post-vdot stage, where the single-read structure is exactly what
+# VMEM residency wants.  See BENCH_NOTES round 3.
 _HI_ORTHO_ENV = _os.environ.get("TTIRT_HI_ORTHO", "")
 
 
 def _hi_ortho() -> bool:
-    return _HI_ORTHO_ENV not in ("0", "false")
+    return _HI_ORTHO_ENV in ("1", "true", "on")
 
 
 def _hi_pack() -> int:
@@ -950,7 +959,10 @@ def _step_factor_ob(mode, n, packed, carry, inp):
     out9, oh0, oh1, la, lb = _cdf_rows32(mode, n, fk, x32, xlo, h32,
                                          qp32, um32)
     w = la[:, None] * oh0 + lb[:, None] * oh1              # (Mb, n)
-    psi = jnp.einsum("mn,mnr->mr", w, v)                   # VPU readout
+    # 2-point readout as an explicit mapped reduce: einsum here emits
+    # a dot_general with batch=Mb, M=1 — a pathological MXU shape —
+    # while mul+sum fuses into one VPU pass over v
+    psi = jnp.sum(w[:, :, None] * v, axis=1)               # (Mb, r)
     scale = jnp.maximum(jnp.max(jnp.abs(psi), axis=1, keepdims=True),
                         jnp.asarray(1e-30, psi.dtype))
     psi = psi / scale
