@@ -160,3 +160,40 @@ def test_dim_kernel_packed_operands(monkeypatch):
     # same quantity, different rounding path: tolerance-banded.
     assert float(jnp.max(jnp.abs(x1 - x0))) < 5e-6
     assert float(jnp.max(jnp.abs(l1 - l0))) < 5e-4
+
+
+def test_odim_kernel_matches_ortho_and_factor_paths(monkeypatch):
+    """The ortho whole-dim kernel (ops/pallas_odim.py) reproduces both
+    the XLA orthonormal-core serveb scan (same basis, same row math —
+    tight parity) and the raw-factor serveb path (different basis,
+    same transform — f32-class parity), in irt and rt modes."""
+    from tt_irt_tpu.samplers import irt_scan as isc
+    tt, grids = _mk_tt(d=6, n=17, r=5, seed=23)
+    rng = np.random.default_rng(29)
+    q = jnp.asarray(rng.uniform(size=(512, 6)))
+    try:
+        # raw-factor serveb (the shipped default)
+        monkeypatch.setattr(isc, "_HI_ORTHO_ENV", "0")
+        jax.clear_caches()
+        x0, l0 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
+        # XLA ortho scan body
+        monkeypatch.setattr(isc, "_HI_ORTHO_ENV", "1")
+        jax.clear_caches()
+        x1, l1 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
+        # fused ortho whole-dim kernel (interpret mode on CPU)
+        os.environ["TTIRT_ODIM_KERNEL"] = "1"
+        jax.clear_caches()
+        x2, l2 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
+        qr2, lr2 = ti.tt_rt_sqr(grids, tt, x2, precision="hi")
+    finally:
+        os.environ.pop("TTIRT_ODIM_KERNEL", None)
+        jax.clear_caches()
+    # kernel vs XLA ortho body: identical algebra, interpret-mode
+    # accumulation order differs at the f32 floor
+    assert float(jnp.max(jnp.abs(x2 - x1))) < 1e-6
+    assert float(jnp.max(jnp.abs(l2 - l1))) < 1e-5
+    # kernel vs the raw-factor default: different carry basis
+    assert float(jnp.max(jnp.abs(x2 - x0))) < 1e-5
+    assert float(jnp.max(jnp.abs(l2 - l0))) < 1e-4
+    # rt roundtrip through the kernel
+    assert float(jnp.max(jnp.abs(qr2 - q))) < 1e-5

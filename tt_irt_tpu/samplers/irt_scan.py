@@ -1120,11 +1120,15 @@ def _ortho_applies(mode, precision, fused) -> bool:
     """The orthonormal-core serve path replaces the factor family
     exactly where the batched-epilogue ('serveb') branch runs; the
     merged Pallas dim kernel and the two-stream/fused variants keep
-    the raw-core factor operands."""
+    the raw-core factor operands.  TTIRT_ODIM_KERNEL=1 (the fused
+    post-vdot whole-dim kernel, ops/pallas_odim.py) implies this
+    path — that kernel exists only on the orthonormal basis."""
     from ..ops.pallas_dim import dim_kernel_enabled
+    from ..ops.pallas_odim import odim_kernel_enabled
 
     _, _, fam, cdfk = _PRECISIONS[precision]
-    return (fam == "factor" and mode in ("sqr", "rt") and _hi_ortho()
+    return (fam == "factor" and mode in ("sqr", "rt")
+            and (_hi_ortho() or odim_kernel_enabled())
             and cdfk == "serveb" and not fused and _STREAMS != 2
             and _hi_pack() != 62 and not dim_kernel_enabled())
 
@@ -1235,9 +1239,24 @@ def _fwd(mode, precision, prep, q, fused=False):
         qp32 = q64.astype(jnp.float32)
         um32 = (1.0 - q64).astype(jnp.float32)
         psi0 = jnp.zeros((mb, r), jnp.float32).at[:, 0].set(1.0)
-        _, outs9 = jax.lax.scan(
-            partial(_step_factor_ob, mode, n, packed), psi0,
-            (qmat, x32s, xlos, h32s, qp32, um32))
+        from ..ops.pallas_odim import odim_kernel_enabled, odim_step
+        if odim_kernel_enabled():
+            # fused post-vdot whole-dim kernel: all row intermediates
+            # VMEM-resident; only psi + the bracket scalars reach HBM
+            xgs = jnp.stack([x32s, xlos], axis=1)         # (d, 2, n)
+            hrows = h32s[:, None, 1:]                     # (d, 1, n-1)
+            kmode = "rt" if mode == "rt" else "irt"
+
+            def kbody(psi, inp):
+                qd, hr, xgd, qk, uk = inp
+                return odim_step(psi, qk, uk, qd, hr, xgd, mode=kmode)
+
+            _, outs9 = jax.lax.scan(
+                kbody, psi0, (qmat, hrows, xgs, qp32, um32))
+        else:
+            _, outs9 = jax.lax.scan(
+                partial(_step_factor_ob, mode, n, packed), psi0,
+                (qmat, x32s, xlos, h32s, qp32, um32))
         dd = outs9.shape[0]
         out, dlf, _, _ = _serve_solve(
             mode, jnp.reshape(outs9, (dd * mb, 9)), None,
