@@ -15,7 +15,11 @@ Usage:
 Config grammar: 'xla' = kernel off; 'kTILE[:VMEM_MB]' = merged dim
 kernel with TTIRT_DIM_TILE=TILE and (optionally) TTIRT_DIM_VMEM_MB;
 'pTILE[:VMEM_MB]' = same with the placement-pack bf16 dots
-(TTIRT_DIM_PACK=2).
+(TTIRT_DIM_PACK=2); 'ortho' = the XLA orthonormal-core scan body
+(TTIRT_HI_ORTHO=1); 'oTILE[:VMEM_MB]' = the fused post-vdot ortho
+whole-dim kernel (ops/pallas_odim.py, TTIRT_ODIM_TILE=TILE).  The
+backward prep is recomputed per config (ortho configs prepare a
+different operand pytree).
 """
 
 from __future__ import annotations
@@ -60,21 +64,29 @@ def main():
     q = jnp.asarray(rng.uniform(size=(m, d)))
     block = args.block or auto_block(m)
 
+    from tt_irt_tpu.samplers import irt_scan as isc
+
     stable = jax.default_backend() != "tpu"
     fused = _use_fused("sqr", args.precision)
     gs, fc = _canon_grid(grids, f)
     cs, xs = stack_padded(fc, gs)
-    prep = _prep_jit("sqr", cs, xs, args.precision, stable, fused=fused)
-    prep = jax.tree_util.tree_map(
-        lambda a: jax.device_put(a), prep)
 
     ref = None
     for cfg in args.configs.split(","):
         cfg = cfg.strip()
-        if cfg == "xla":
-            os.environ["TTIRT_DIM_KERNEL"] = "0"
-            os.environ.pop("TTIRT_DIM_VMEM_MB", None)
-        else:
+        for k in ("TTIRT_DIM_KERNEL", "TTIRT_DIM_VMEM_MB",
+                  "TTIRT_ODIM_KERNEL", "TTIRT_ODIM_VMEM_MB"):
+            os.environ.pop(k, None)
+        isc._HI_ORTHO_ENV = ""
+        if cfg == "ortho":
+            isc._HI_ORTHO_ENV = "1"
+        elif cfg.startswith("o"):
+            spec = cfg[1:].split(":")
+            os.environ["TTIRT_ODIM_KERNEL"] = "1"
+            os.environ["TTIRT_ODIM_TILE"] = spec[0]
+            if len(spec) > 1:
+                os.environ["TTIRT_ODIM_VMEM_MB"] = spec[1]
+        elif cfg != "xla":
             spec = cfg[1:].split(":")
             os.environ["TTIRT_DIM_KERNEL"] = "1"
             os.environ["TTIRT_DIM_PACK"] = \
@@ -82,9 +94,11 @@ def main():
             os.environ["TTIRT_DIM_TILE"] = spec[0]
             if len(spec) > 1:
                 os.environ["TTIRT_DIM_VMEM_MB"] = spec[1]
-            else:
-                os.environ.pop("TTIRT_DIM_VMEM_MB", None)
         jax.clear_caches()
+        prep = _prep_jit("sqr", cs, xs, args.precision, stable,
+                         fused=fused)
+        prep = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a), prep)
         t0 = time.perf_counter()
         try:
             x, lf = fwd_blocked("sqr", args.precision, prep, q, block,
