@@ -119,7 +119,10 @@ def test_hi_pack_policy_and_parity(monkeypatch):
     are nonzero and reconstruct exactly under jit (the collapse
     regression), and (c) force-runs the packed program on CPU."""
     from tt_irt_tpu.samplers import irt_scan as isc
-    assert jax.default_backend() == "cpu"
+    if jax.default_backend() != "cpu":
+        pytest.skip("asserts the CPU-side pack policy; the TPU-side "
+                    "parity is pinned by the stress tests run in "
+                    "'hi' mode and the bench parity gate")
     assert isc._hi_pack() == 0
 
     # (b) the collapse regression: residual parts survive jit

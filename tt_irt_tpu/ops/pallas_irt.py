@@ -109,9 +109,14 @@ def _kernel(q_ref, p2_ref, scum_ref, coreu_ref, x_ref, out_ref, lf_ref,
         for i in range(r):
             gbuf_ref[:, i * r:(i + 1) * r] = phi[:, i:i + 1] * phi
         pk = p2_ref[k]                                     # (r2, n)
+        # HIGHEST: on a real TPU run, DEFAULT would lower these to
+        # single-pass bf16 (log-density error ~1e-2 vs the f32 class
+        # this kernel is specified to match, tests/test_pallas.py)
         fk = jnp.dot(gbuf_ref[:, :], pk,
+                     precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)   # (bm, n)
         cvals = jnp.dot(fk, scum_ref[k],
+                        precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
         total = cvals[:, n - 1]
         bad = (total <= 0.0)[:, None]
@@ -151,6 +156,7 @@ def _kernel(q_ref, p2_ref, scum_ref, coreu_ref, x_ref, out_ref, lf_ref,
             jnp.maximum(f1 * la + f2 * lb, 1e-30))
         w = la[:, None] * oh0 + lb[:, None] * oh1
         bsel = jnp.dot(w, coreu_ref[k],
+                       precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)  # (bm, r2)
         acc = phi[:, 0:1] * bsel[:, 0:r]
         for i in range(1, r):

@@ -18,6 +18,13 @@ TPU-first realization:
 * the shrinking active-set Newton (:248-279) becomes a fixed-shape
   masked Newton under `lax.while_loop`, with the same damping
   Jac + |Resid| and residual tolerance.
+* ALL device arithmetic is real-pair: complex values are carried as
+  (re, im) planes and complex matmuls run as doubled real matmuls
+  ([wr wi] = [pr pi] @ [[Lr Li], [-Li Lr]]).  The TPU PJRT backend has
+  no complex types at all ("Element type C128 is not supported on
+  TPU"), so a complex-typed sampler simply would not run on the target
+  hardware; the doubled real form is also what the MXU wants.  Complex
+  appears only in the host-side (numpy) precompute.
 
 Grid convention (reference :6): uniform without the left border,
 x = ((-n+1):n)*h + X0, period interval (-S, S] + X0.
@@ -38,7 +45,8 @@ __all__ = ["tt_irt_fourier", "fourier_precompute"]
 
 _NEWTON_MAX_ITERS = 16    # tt_irt_fourier.m:20
 _NEWTON_TOL = 1e-7        # tt_irt_fourier.m:21
-_DEFAULT_BLOCK = 1 << 12  # fourier blocks are smaller: O(block*4n*r) complex
+_DEFAULT_BLOCK = 1 << 12  # fourier blocks are smaller: O(block*4n*2r)
+_HI = jax.lax.Precision.HIGHEST
 
 
 @jax.tree_util.register_pytree_node_class
@@ -51,8 +59,12 @@ class FourierPrep:
     __slots__ = ("lfine", "coeffs", "x0", "s", "h", "nhalf")
 
     def __init__(self, lfine, coeffs, x0, s, h, nhalf):
-        self.lfine = tuple(lfine)    # per dim: (r1, 4n, rc) complex
-        self.coeffs = tuple(coeffs)  # per dim: (r1, 2n, r2) complex
+        # real-pair storage (no complex dtypes reach the device):
+        self.lfine = tuple(lfine)    # per dim: (2*r1, 4n, 2*rc) real —
+        #   the doubled embedding [[Lr, Li], [-Li, Lr]] of the complex
+        #   (r1, 4n, rc) fine-grid factor
+        self.coeffs = tuple(coeffs)  # per dim: (r1, 2n, r2, 2) real —
+        #   (re, im) planes of the complex Fourier coefficients
         self.x0 = tuple(x0)
         self.s = tuple(s)
         self.h = tuple(h)
@@ -72,10 +84,13 @@ def _freqs(n):
     return np.arange(-n + 1, n + 1)
 
 
-def _dft_eval(x_over_s, m):
-    """E[j, m] = exp(i pi m x_j / S) for given x/S values."""
-    return jnp.exp(1j * math.pi * jnp.asarray(x_over_s)[:, None]
-                   * jnp.asarray(m, dtype=jnp.float64)[None, :])
+def _double_embed(a_c, axis0, axis2):
+    """Real doubled embedding of a complex array along two axes:
+    [[Re, Im], [-Im, Re]], so that the real matmul
+    [pr pi] @ embed(L) equals [Re(p@L)  Im(p@L)]."""
+    top = np.concatenate([a_c.real, a_c.imag], axis=axis2)
+    bot = np.concatenate([-a_c.imag, a_c.real], axis=axis2)
+    return np.concatenate([top, bot], axis=axis0)
 
 
 def fourier_precompute(grid, f: TT) -> FourierPrep:
@@ -126,8 +141,9 @@ def fourier_precompute(grid, f: TT) -> FourierPrep:
         lchol = np.linalg.cholesky(
             gram + 1e-300 * np.eye(gram.shape[0])
             + 1e-14 * np.trace(gram) * np.eye(gram.shape[0]))
-        lfine.append(jnp.asarray(np.einsum("afb,bc->afc", ffine, lchol)))
-        coeffs.append(jnp.asarray(ck))
+        lf_c = np.einsum("afb,bc->afc", ffine, lchol)      # (r1, 4n, rc)
+        lfine.append(jnp.asarray(_double_embed(lf_c, 0, 2)))
+        coeffs.append(jnp.asarray(np.stack([ck.real, ck.imag], axis=-1)))
         x0s.append(float(x0))
         ss.append(float(s))
         hs.append(float(h))
@@ -143,39 +159,57 @@ def fourier_precompute(grid, f: TT) -> FourierPrep:
 
 def _forward_block_fourier(q, prep: FourierPrep, dsample):
     mb = q.shape[0]
-    r0 = prep.lfine[0].shape[0]
-    phi = jnp.ones((mb, r0), jnp.complex128)
+    r0 = prep.lfine[0].shape[0] // 2
+    # real-pair prefix: phi = [Re | Im], (Mb, 2*r)
+    phi = jnp.concatenate([jnp.ones((mb, r0), jnp.float64),
+                           jnp.zeros((mb, r0), jnp.float64)], axis=1)
     lf = jnp.zeros((mb,), jnp.float64)
     xq = []
     for k in range(dsample):
-        lfk = prep.lfine[k]                  # (r1, 4n, rc) complex
+        lfk = prep.lfine[k]                  # (2*r1, 4n, 2*rc) real
         s = prep.s[k]
         n = prep.nhalf[k]
         n4 = 4 * n
-        mfine = jnp.asarray(np.arange(-2 * n + 1, 2 * n + 1),
-                            dtype=jnp.float64)
-        xf = jnp.asarray(np.arange(-2 * n + 1, 2 * n + 1) * (prep.h[k] / 2))
-        # conditional marginal on the fine grid: sum_e |phi . L[:, f, e]|^2
-        w = jnp.einsum("mi,ife->mfe", phi, lfk)
-        fvals = jnp.sum(jnp.real(w * jnp.conj(w)), axis=2)  # (Mb, 4n) >= 0
+        mfine_np = np.arange(-2 * n + 1, 2 * n + 1).astype(np.float64)
+        mfine = jnp.asarray(mfine_np)
+        xf_np = np.arange(-2 * n + 1, 2 * n + 1) * (prep.h[k] / 2.0)
+        xf = jnp.asarray(xf_np)
+        # conditional marginal on the fine grid: the doubled embedding
+        # gives w2[..., :rc] = Re(phi.L), w2[..., rc:] = Im(phi.L), so
+        # the square-sum over the WHOLE last axis is sum_e |phi.L|^2
+        w2 = jnp.einsum("mi,ife->mfe", phi, lfk, precision=_HI)
+        fvals = jnp.sum(w2 * w2, axis=2)                    # (Mb, 4n) >= 0
         # degenerate rows -> uniform
         bad = jnp.all(fvals <= 0.0, axis=1, keepdims=True)
         fvals = jnp.where(bad, jnp.ones_like(fvals), fvals)
-        # Fourier coefficients of the conditional (exact on fine basis)
-        efinv = jnp.exp(-1j * math.pi
-                        * jnp.outer(mfine, xf) / s) / n4    # (4n, 4n)
-        ghat = fvals @ efinv.T                               # (Mb, 4n)
-        g0 = jnp.real(ghat[:, 2 * n - 1])                    # m = 0 slot
+        # Fourier coefficients of the conditional (exact on fine basis):
+        # ghat = fvals @ efinv.T with efinv = exp(-i pi m xf / S)/4n,
+        # as one real matmul against the stacked [Re | Im] columns
+        ang_inv = (-math.pi / s) * np.outer(xf_np, mfine_np)  # (4n, 4n)
+        einv2 = jnp.asarray(np.concatenate(
+            [np.cos(ang_inv), np.sin(ang_inv)], axis=1) / n4)  # (4n, 8n)
+        g2 = jnp.matmul(fvals, einv2, precision=_HI)         # (Mb, 8n)
+        gr, gi = g2[:, :n4], g2[:, n4:]
+        g0 = gr[:, 2 * n - 1]                                # m = 0 slot
         # CDF: C(x) = g0*(x+S) + sum_{m!=0} ghat_m S/(i pi m)
         #                         (e^{i pi m x/S} - (-1)^m)
-        mnz = jnp.where(mfine == 0, 1.0, mfine)
-        chat = jnp.where(mfine[None, :] == 0, 0.0,
-                         ghat * (s / (1j * math.pi * mnz))[None, :])
+        # 1/i = -i: chat = ghat * s/(i pi m) -> (cr, ci) =
+        #   (gi * s/(pi m), -gr * s/(pi m)), zeroed at m = 0
+        km_np = np.where(mfine_np == 0.0, 0.0,
+                         s / (math.pi * np.where(mfine_np == 0.0, 1.0,
+                                                 mfine_np)))
+        km = jnp.asarray(km_np)
+        cr = gi * km[None, :]
+        ci = -gr * km[None, :]
         sign_m = jnp.asarray((-1.0) ** np.arange(-2 * n + 1, 2 * n + 1))
-        cconst = g0 * s - jnp.sum(jnp.real(chat * sign_m[None, :]), axis=1)
-        efine = jnp.exp(1j * math.pi * jnp.outer(xf, mfine) / s)  # (4n,4n)
-        cvals = (jnp.real(chat @ efine.T)
-                 + g0[:, None] * xf[None, :] + cconst[:, None])  # (Mb, 4n)
+        cconst = g0 * s - jnp.sum(cr * sign_m[None, :], axis=1)
+        # Re(chat @ efine.T) = cr @ cos.T - ci @ sin.T, stacked lhs
+        ang_f = (math.pi / s) * np.outer(xf_np, mfine_np)    # (4n, 4n)
+        ef2 = jnp.asarray(np.concatenate(
+            [np.cos(ang_f), -np.sin(ang_f)], axis=1).T)      # (8n, 4n)
+        cvals = (jnp.matmul(jnp.concatenate([cr, ci], axis=1), ef2,
+                            precision=_HI)
+                 + g0[:, None] * xf[None, :] + cconst[:, None])  # (Mb,4n)
         cmax = cvals[:, -1]
         qk = q[:, k]
         # bisection on the fine grid for the initial bracket
@@ -204,34 +238,53 @@ def _forward_block_fourier(q, prep: FourierPrep, dsample):
         xg = jnp.where(den <= 0.0, x1, x1 + 2.0 * tq / safe_den)
         xg = jnp.clip(xg, -s, s)
         # Newton refinement on the normalized residual C(x)/cmax - q
-        chat_n = chat / cmax[:, None]
+        cr_n = cr / cmax[:, None]
+        ci_n = ci / cmax[:, None]
         a0_n = g0 / cmax
         shift = cconst / cmax - qk
         # fold the constant - q into the m=0 channel by adding to the
         # linear part's offset: residual(x) = sum Re[chat_n e] + a0 x + shift
-        xk, jac = _newton_invert_resid(xg, chat_n, a0_n, shift, s, mfine)
+        xk, jac = _newton_invert_resid(xg, cr_n, ci_n, a0_n, shift, s,
+                                       mfine)
         xq.append(xk + prep.x0[k])
         lf = lf + jnp.log(jnp.maximum(jac, 1e-300))
         if k < dsample - 1:
             # condition the prefix on xk via the core's trigonometric
-            # interpolant (reference :290-301)
+            # interpolant (reference :290-301), in real pairs:
+            # b = sum_m c_m e(x)^m with e = cos + i sin
             mcoarse = jnp.asarray(_freqs(n), dtype=jnp.float64)
-            e = jnp.exp(1j * math.pi * xk[:, None] * mcoarse[None, :] / s)
-            bsel = jnp.einsum("amb,sm->sab", prep.coeffs[k], e)
-            phi = jnp.einsum("mi,mij->mj", phi, bsel)
+            ang = (math.pi / s) * xk[:, None] * mcoarse[None, :]
+            er, ei = jnp.cos(ang), jnp.sin(ang)              # (Mb, 2n)
+            ckr = prep.coeffs[k][..., 0]                     # (r1, 2n, r2)
+            cki = prep.coeffs[k][..., 1]
+            br = (jnp.einsum("amb,sm->sab", ckr, er, precision=_HI)
+                  - jnp.einsum("amb,sm->sab", cki, ei, precision=_HI))
+            bi = (jnp.einsum("amb,sm->sab", ckr, ei, precision=_HI)
+                  + jnp.einsum("amb,sm->sab", cki, er, precision=_HI))
+            r1 = ckr.shape[0]
+            phr, phii = phi[:, :r1], phi[:, r1:]
+            nphr = (jnp.einsum("mi,mij->mj", phr, br, precision=_HI)
+                    - jnp.einsum("mi,mij->mj", phii, bi, precision=_HI))
+            nphi = (jnp.einsum("mi,mij->mj", phr, bi, precision=_HI)
+                    + jnp.einsum("mi,mij->mj", phii, br, precision=_HI))
+            phi = jnp.concatenate([nphr, nphi], axis=1)
             scale = jnp.maximum(
                 jnp.max(jnp.abs(phi), axis=1, keepdims=True), 1e-300)
             phi = phi / scale
     return jnp.stack(xq, axis=1), lf
 
 
-def _newton_invert_resid(xk0, chat, a0, shift, s, mfine):
-    """Masked damped Newton on resid(x) = sum Re[chat e(x)] + a0*x + shift."""
+def _newton_invert_resid(xk0, cr, ci, a0, shift, s, mfine):
+    """Masked damped Newton on resid(x) = sum Re[chat e(x)] + a0*x + shift,
+    with chat carried as the real pair (cr, ci):
+    Re[c e] = cr cos - ci sin;  d/dx Re[c e] = -(pi m / s)(cr sin + ci cos).
+    """
     def cf(x):
-        e = jnp.exp(1j * math.pi * x[:, None] * mfine[None, :] / s)
-        resid = jnp.sum(jnp.real(chat * e), axis=1) + a0 * x + shift
-        fval = jnp.sum(jnp.real(chat * e * (1j * math.pi / s)
-                                * mfine[None, :]), axis=1) + a0
+        ang = (math.pi / s) * x[:, None] * mfine[None, :]
+        er, ei = jnp.cos(ang), jnp.sin(ang)
+        resid = jnp.sum(cr * er - ci * ei, axis=1) + a0 * x + shift
+        fval = (jnp.sum((-math.pi / s) * mfine[None, :]
+                        * (cr * ei + ci * er), axis=1) + a0)
         return resid, fval
 
     def cond(state):
