@@ -299,6 +299,18 @@ def _prepare_scan(cstack, xstack, stable: bool = False):
             pk = jnp.einsum("anc,bnc->abn", b, b, precision=_HI)
             wb = b * jnp.sqrt(w2k)[None, :, None]
             mat = jnp.reshape(wb, (r, n * r)).T
+            # Rank padding (stack_padded) leaves exact-zero columns in
+            # `mat`, so R is singular and the QR *backward* rule (which
+            # divides by diag(R)) emits NaN cotangents that poison every
+            # core gradient.  Append an eps*I block scaled to the matrix:
+            # the Gram (and hence the primal) moves by eps^2 ~ 1e-28
+            # relative — far below f64 resolution — while diag(R) >= eps
+            # keeps the VJP finite (eps must clear ~1e-15 relative:
+            # smaller values overflow inside the triple-product backward
+            # and reintroduce the NaNs; measured 1e-30 fails, 1e-15 ok).
+            scale_in = jnp.maximum(jnp.max(jnp.abs(mat)), 1e-300)
+            eps_rows = (1e-14 * scale_in) * jnp.eye(r, dtype=mat.dtype)
+            mat = jnp.concatenate([mat, eps_rows], axis=0)
             rnew = jnp.linalg.qr(mat)[1].T                 # (r, r)
             scale = jnp.maximum(jnp.max(jnp.abs(rnew)), 1e-300)
             return rnew / scale, pk
