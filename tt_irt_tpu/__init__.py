@@ -73,6 +73,7 @@ from .samplers.diagnostics import (  # noqa: E402
 from .constructors.amen_cross import amen_cross_s  # noqa: E402
 from .constructors.greedy_cross import greedy_cross  # noqa: E402
 from .constructors.dirt_build import tt_dirt_approx  # noqa: E402
+from .constructors.finetune import dirt_finetune  # noqa: E402
 from .constructors.als_cross import als_cross_parametric  # noqa: E402
 
 __version__ = "0.1.0"
@@ -105,6 +106,7 @@ __all__ = [
     "tt_irt_cheb",
     "DIRT",
     "tt_dirt_sample",
+    "dirt_finetune",
     "serve_precision",
     "dirt_round",
     "DirtSampler",
