@@ -16,6 +16,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import os
+
+pytestmark = pytest.mark.skipif(
+    bool(os.environ.get("TTIRT_TEST_TPU")),
+    reason="differentiability is backend-independent; grad-of-scan "
+           "compile under TPU f64 emulation takes minutes")
+
 from tt_irt_tpu.ops.tt import TT
 from tt_irt_tpu.samplers.irt import tt_irt_sqr
 from tt_irt_tpu.samplers.irt_scan import _fwd, _prep, stack_padded

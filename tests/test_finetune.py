@@ -10,6 +10,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import os
+
+pytestmark = pytest.mark.skipif(
+    bool(os.environ.get("TTIRT_TEST_TPU")),
+    reason="differentiability is backend-independent; grad-of-scan "
+           "compile under TPU f64 emulation takes minutes")
+
 from tt_irt_tpu import (
     dirt_finetune, essinv, tt_dirt_approx, tt_dirt_sample,
 )
