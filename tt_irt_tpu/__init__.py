@@ -61,6 +61,7 @@ from .samplers.dirt import (  # noqa: E402
     tt_dirt_inverse,
     tt_dirt_sample,
 )
+from .samplers.conditional import tt_dirt_cond_sample, tt_irt_cond  # noqa: E402
 from .samplers.serve import DirtSampler, IrtSampler  # noqa: E402
 from .samplers.debias import (  # noqa: E402
     iw_prune, mcmc_prune, rejection_histogram, tt_irt_debias,
@@ -112,6 +113,8 @@ __all__ = [
     "DirtSampler",
     "IrtSampler",
     "tt_dirt_inverse",
+    "tt_irt_cond",
+    "tt_dirt_cond_sample",
     "mcmc_prune",
     "iw_prune",
     "tt_irt_debias",
