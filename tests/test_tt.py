@@ -156,3 +156,55 @@ def test_tracemult_parity_complex():
     g = np.asarray(tracemult_gather(a[:, :, 0], j % 3))
     ref_g = a[np.arange(5), j % 3, 0]
     np.testing.assert_allclose(g, ref_g, rtol=1e-12)
+
+
+def test_tt_permute_dense_oracle():
+    from tt_irt_tpu.ops.tt import tt_permute
+
+    a = tt_rand([5, 6, 7, 4, 3], r=4, key=jax.random.PRNGKey(11))
+    dense = np.asarray(tt_full(a))
+    for perm in ([1, 0, 2, 3, 4], [4, 3, 2, 1, 0], [2, 0, 4, 1, 3]):
+        b = tt_permute(a, perm, eps=0.0)
+        np.testing.assert_allclose(np.asarray(tt_full(b)),
+                                   np.transpose(dense, perm),
+                                   rtol=0, atol=1e-12 * np.abs(dense).max())
+    # identity permutation is free
+    assert tt_permute(a, [0, 1, 2, 3, 4]).ranks == a.ranks
+    with pytest.raises(ValueError):
+        tt_permute(a, [0, 1, 2, 3, 3])
+
+
+def test_tt_permute_preserves_separable_rank():
+    from tt_irt_tpu.ops.tt import tt_permute
+
+    g = [np.linspace(-1, 1, 6)] * 4
+    dense = np.exp(np.add.outer(np.add.outer(g[0], g[1]),
+                                np.add.outer(g[2], g[3])))
+    t = tt_from_dense(jnp.asarray(dense), eps=1e-12)
+    assert max(tt_permute(t, [3, 1, 0, 2], eps=1e-12).ranks) == 1
+
+
+def test_tt_partial_eval_dense_oracle():
+    from tt_irt_tpu.ops.tt import tt_partial_eval
+
+    grids = [np.linspace(-2, 2, n) for n in (5, 6, 7, 4)]
+    a = tt_rand([5, 6, 7, 4], r=3, key=jax.random.PRNGKey(12))
+    dense = np.asarray(tt_full(a))
+    # substitution at grid points == dense slicing
+    sub, sg = tt_partial_eval(a, grids, [1, 3], [grids[1][2], grids[3][1]])
+    np.testing.assert_allclose(np.asarray(tt_full(sub)),
+                               dense[:, 2, :, 1], atol=1e-13)
+    assert [len(g) for g in sg] == [5, 7]
+    # off-grid values == multilinear interpolation of the dense slices
+    x = 0.5 * (grids[1][2] + grids[1][3])
+    sub2, _ = tt_partial_eval(a, grids, [1], [x])
+    np.testing.assert_allclose(np.asarray(tt_full(sub2)),
+                               0.5 * (dense[:, 2] + dense[:, 3]), atol=1e-13)
+    # trailing fixed dims fold from the right; all-fixed gives a scalar
+    sub3, _ = tt_partial_eval(a, grids, [3], [grids[3][0]])
+    np.testing.assert_allclose(np.asarray(tt_full(sub3)), dense[..., 0],
+                               atol=1e-13)
+    sub4, _ = tt_partial_eval(a, grids, [0, 1, 2, 3],
+                              [g[0] for g in grids])
+    np.testing.assert_allclose(float(np.asarray(tt_full(sub4)).ravel()[0]),
+                               dense[0, 0, 0, 0], atol=1e-13)

@@ -42,6 +42,7 @@ from .ops.tt import (  # noqa: E402
     tt_meshgrid,
     tt_norm,
     tt_ones,
+    tt_permute,
     tt_rand,
     tt_round,
     tt_scale,
@@ -56,6 +57,7 @@ from .samplers.fourier import tt_irt_fourier  # noqa: E402
 from .samplers.chebyshev import tt_irt_cheb  # noqa: E402
 from .samplers.dirt import (  # noqa: E402
     DIRT,
+    dirt_permute,
     dirt_round,
     serve_precision,
     tt_dirt_inverse,
@@ -89,6 +91,7 @@ __all__ = [
     "tt_meshgrid",
     "tt_norm",
     "tt_ones",
+    "tt_permute",
     "tt_rand",
     "tt_round",
     "tt_scale",
@@ -110,6 +113,7 @@ __all__ = [
     "dirt_finetune",
     "serve_precision",
     "dirt_round",
+    "dirt_permute",
     "DirtSampler",
     "IrtSampler",
     "tt_dirt_inverse",

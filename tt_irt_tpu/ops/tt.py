@@ -408,6 +408,133 @@ def tt_reverse(a: TT) -> TT:
     return TT([jnp.transpose(c, (2, 1, 0)) for c in reversed(a.cores)])
 
 
+def tt_partial_eval(a: TT, grids, dims, values):
+    """Substitute fixed values for a subset of coordinates (linear spline).
+
+    Evaluates the cores of dimensions ``dims`` at ``values`` by linear
+    interpolation on their grids — the same per-dimension interpolant
+    the spline samplers realize, so for a sqrt-density TT the square of
+    the result IS the exact (unnormalized) conditional of the sampler's
+    realized density — and contracts the resulting matrices into the
+    neighboring kept cores.  Rank-preserving and order-preserving (no
+    tt_permute rank growth).
+
+    Args:
+      a: TT with d dims.  grids: d grid vectors.  dims: coordinates to
+      fix.  values: one value per entry of dims (clipped to the grid).
+
+    Returns:
+      (sub_tt, sub_grids): TT over the remaining dims (in original
+      relative order) and their grids.  All dims fixed -> sub_tt is a
+      TT with a single size-1 mode carrying the scalar.
+    """
+    d = a.d
+    dims = [int(k) for k in dims]
+    if len(set(dims)) != len(dims) or not all(0 <= k < d for k in dims):
+        raise ValueError(f"dims must be distinct in 0..{d-1}: {dims}")
+    vals = {k: float(v) for k, v in zip(dims, np.asarray(values).ravel())}
+    if len(vals) != len(dims):
+        raise ValueError("one value per fixed dim required")
+    fixed = set(dims)
+
+    def sub_mat(k):
+        g = np.asarray(grids[k]).ravel()
+        x = min(max(vals[k], float(g[0])), float(g[-1]))
+        i0 = int(np.clip(np.searchsorted(g, x, side="right") - 1,
+                         0, len(g) - 2))
+        w = (x - g[i0]) / (g[i0 + 1] - g[i0])
+        c = np.asarray(a.cores[k])
+        return (1.0 - w) * c[:, i0, :] + w * c[:, i0 + 1, :]
+
+    out_cores, out_grids = [], []
+    pending = None  # matrix to fold into the NEXT kept core
+    for k in range(d):
+        if k in fixed:
+            m = sub_mat(k)
+            pending = m if pending is None else pending @ m
+        else:
+            c = np.asarray(a.cores[k])
+            if pending is not None:
+                c = np.einsum("ab,bnc->anc", pending, c)
+                pending = None
+            out_cores.append(c)
+            out_grids.append(grids[k])
+    if pending is not None:
+        if out_cores:
+            out_cores[-1] = np.einsum("anb,bc->anc", out_cores[-1], pending)
+        else:  # every dim fixed: scalar as a 1-mode TT
+            out_cores = [pending.reshape(pending.shape[0], 1,
+                                         pending.shape[1])]
+            out_grids = [np.zeros(1)]
+    return TT([jnp.asarray(c) for c in out_cores]), out_grids
+
+
+def tt_permute(a: TT, perm, eps: float = 0.0, rmax: int | None = None) -> TT:
+    """Reorder the TT dimensions: result(i_{perm[0]},...,i_{perm[d-1]}).
+
+    Mode permutation is not free in TT format (unlike dense transpose):
+    each adjacent transposition merges two cores into a supercore,
+    swaps its mode axes and re-splits by truncated SVD, so non-adjacent
+    moves change the bond ranks.  Sorting is bubble-style serpentine
+    sweeps; before every left-to-right sweep the train is
+    right-orthogonalized so each local SVD truncation equals its global
+    error contribution.  Total error <= ``eps * |A|`` (per-swap budget
+    eps/sqrt(#swaps)); ``rmax`` caps every intermediate bond.
+
+    Enables conditioning the triangular transport on arbitrary
+    coordinate subsets (samplers/conditional.py): permute the target's
+    TT so the conditioned block leads, then run the prefix machinery.
+    Host LAPACK (constructor-layer op; see tt_from_dense note).
+    """
+    d = a.d
+    perm = [int(p) for p in perm]
+    if sorted(perm) != list(range(d)):
+        raise ValueError(f"perm must be a permutation of 0..{d-1}: {perm}")
+    if perm == list(range(d)):
+        return TT(list(a.cores))
+
+    # want_pos[dim] = target position of original dim `dim`
+    want_pos = [0] * d
+    for i, p in enumerate(perm):
+        want_pos[p] = i
+    order = list(range(d))
+    nswaps = sum(1 for i in range(d) for j in range(i + 1, d)
+                 if want_pos[order[i]] > want_pos[order[j]])
+    nrm = float(tt_norm(a))
+    delta = float(eps) * nrm / math.sqrt(max(nswaps, 1))
+
+    cur = a
+    while True:
+        # right-orthogonalize so the sweep's local SVDs are globally tight
+        cur = tt_orthogonalize(cur, left=False)
+        cores = [np.asarray(c) for c in cur.cores]
+        swapped = False
+        for k in range(d - 1):
+            if want_pos[order[k]] <= want_pos[order[k + 1]]:
+                if swapped or k == 0:
+                    # keep positions < active site left-orthonormal
+                    r1, n, r2 = cores[k].shape
+                    q, rmat = np.linalg.qr(np.reshape(cores[k], (r1 * n, r2)))
+                    cores[k] = np.reshape(q, (r1, n, q.shape[1]))
+                    cores[k + 1] = np.einsum("ab,bic->aic", rmat,
+                                             cores[k + 1])
+                continue
+            r1, n1, _ = cores[k].shape
+            _, n2, r3 = cores[k + 1].shape
+            sc = np.einsum("aib,bjc->ajic", cores[k], cores[k + 1])
+            mat = np.reshape(sc, (r1 * n2, n1 * r3))
+            u, s, vt = np.linalg.svd(mat, full_matrices=False)
+            r = _chop_rank(s, delta, rmax)
+            cores[k] = np.reshape(u[:, :r], (r1, n2, r))
+            cores[k + 1] = np.reshape(s[:r, None] * vt[:r, :], (r, n1, r3))
+            order[k], order[k + 1] = order[k + 1], order[k]
+            swapped = True
+        cur = TT([jnp.asarray(c) for c in cores])
+        if not swapped:
+            break
+    return cur
+
+
 def tt_sum_many(tts: Sequence[TT], weights=None, eps: float = 1e-10,
                 rmax: int | None = None) -> TT:
     """Rounded weighted sum of several TTs (the reference relies on the

@@ -44,23 +44,87 @@ def _broadcast_fix(xfix, m):
     return xfix
 
 
-def tt_irt_cond(grid, f: TT, xfix, q_rest, **kwargs):
-    """Sample z_{k+1:d} | z_{1:k} = xfix from a single sqrt-density TT.
+def _perm_for(cond_dims, d):
+    cond_dims = [int(c) for c in cond_dims]
+    if len(set(cond_dims)) != len(cond_dims) or not all(
+            0 <= c < d for c in cond_dims):
+        raise ValueError(f"cond_dims must be distinct dims in 0..{d-1}: "
+                         f"{cond_dims}")
+    rest = [i for i in range(d) if i not in set(cond_dims)]
+    perm = cond_dims + rest
+    inv = [0] * d
+    for i, p in enumerate(perm):
+        inv[p] = i
+    return perm, inv
+
+
+def tt_irt_cond(grid, f: TT, xfix, q_rest, cond_dims=None, **kwargs):
+    """Sample the conditional z_rest | z_cond = xfix from a sqrt-density TT.
+
+    Two exact mechanisms, chosen automatically:
+
+    * xfix is ONE conditioning point (a single row): **partial
+      evaluation** — the fixed coordinates are substituted into the
+      cores by linear interpolation (ops/tt.py tt_partial_eval), which
+      is rank-preserving and works for ANY ``cond_dims`` subset; the
+      conditional is then an ordinary (d-k)-dim SIRT of the substituted
+      TT.  (The spline samplers realize the multilinear interpolant of
+      ``f`` squared, so the substituted TT squared IS the exact
+      conditional of the realized joint.)
+    * xfix has one row PER SEED: **partial inverse** — forward-
+      Rosenblatt the conditioned block to its seeds and push
+      [q_fix, q_rest] forward.  Prefix conditioning only (triangular
+      maps condition on prefixes; for another subset, build or
+      tt_permute the TT with those dims leading).
 
     Args:
       grid: the d grid vectors (as in tt_irt_sqr).
       f: TT of sqrt(PDF).
-      xfix: (k,) or (M, k) conditioning values for the FIRST k
-        coordinates (condition on a different block by permuting the TT
-        before the build — triangular maps condition on prefixes).
-      q_rest: (M, d-k) uniform seeds for the remaining coordinates.
+      xfix: (k,) one conditioning point, or (M, k) one per seed row.
+      cond_dims: which coordinates xfix fixes (default: the first k).
+        Arbitrary subsets require the single-point form.
+      q_rest: (M, d-k) uniform seeds for the remaining coordinates (in
+        original-dimension order).
       kwargs: forwarded to the underlying samplers (block, precision...).
 
     Returns:
-      (z, lfcond): samples (M, d) whose first k columns equal ``xfix``
-      and log conditional density log p(z_{k+1:d} | z_{1:k}) (M,).
+      (z, lfcond): samples (M, d) whose conditioned columns equal
+      ``xfix`` and log conditional density log p(z_rest | z_cond) (M,).
     """
     q_rest = jnp.atleast_2d(jnp.asarray(q_rest))
+    xarr = jnp.atleast_2d(jnp.asarray(xfix))
+    single_point = xarr.shape[0] == 1
+    if cond_dims is not None and sorted(int(c) for c in cond_dims) != \
+            list(range(len(list(cond_dims)))):
+        if not single_point:
+            raise ValueError(
+                "per-seed xfix supports prefix conditioning only; for "
+                "an arbitrary subset pass ONE conditioning row, or "
+                "tt_permute the TT so the subset leads")
+    if single_point:
+        if len(grid) != f.d:
+            raise ValueError("conditioning requires grid as a list of "
+                             "d grid vectors")
+        from ..ops.tt import tt_partial_eval
+
+        dims = (list(range(xarr.shape[1])) if cond_dims is None
+                else [int(c) for c in cond_dims])
+        if len(dims) != xarr.shape[1]:
+            raise ValueError(f"xfix has {xarr.shape[1]} values for "
+                             f"{len(dims)} conditioned dims")
+        if len(dims) + q_rest.shape[1] != f.d:
+            raise ValueError(
+                f"xfix ({len(dims)} cols) + q_rest ({q_rest.shape[1]} "
+                f"cols) must cover all {f.d} dimensions")
+        f_sub, grids_sub = tt_partial_eval(f, grid, dims, xarr[0])
+        z_rest, lfcond = tt_irt_sqr(grids_sub, f_sub, q_rest, **kwargs)
+        m = q_rest.shape[0]
+        rest = [i for i in range(f.d) if i not in set(dims)]
+        z = jnp.zeros((m, f.d), z_rest.dtype)
+        z = z.at[:, jnp.asarray(rest)].set(z_rest)
+        z = z.at[:, jnp.asarray(dims)].set(
+            jnp.broadcast_to(xarr[0], (m, len(dims))))
+        return z, lfcond
     m = q_rest.shape[0]
     xfix = _broadcast_fix(xfix, m)
     k = xfix.shape[1]
@@ -80,15 +144,24 @@ def tt_irt_cond(grid, f: TT, xfix, q_rest, **kwargs):
 
 
 def tt_dirt_cond_sample(dirt: DIRT, xfix, q_rest, logpostfun=None,
-                        precision=None):
-    """Sample z_{k+1:d} | z_{1:k} = xfix from a DIRT pushforward.
+                        precision=None, cond_dims=None,
+                        perm_eps: float = 1e-12):
+    """Sample the conditional z_rest | z_cond = xfix from a DIRT pushforward.
 
     Args:
       dirt: a built DIRT stack (spline interpolation — the partial
         inverse rides tt_dirt_inverse, which carries the reference's
         spline-only guard, tt_dirt_inverse.m:14-19).
       xfix: (k,) or (M, k) conditioning values for the first k
-        sample-space coordinates.
+        sample-space coordinates — or for ``cond_dims`` if given (the
+        stack is relabeled via dirt_permute, truncation <= ``perm_eps``
+        per TT, and output columns return in the ORIGINAL order; the
+        caller's ``logpostfun`` still receives original-order samples).
+        NOTE: unlike the single-TT case (which substitutes coordinates
+        rank-preservingly), reordering a TT can genuinely grow its
+        ranks — conditioning a deep stack on a badly-separated subset
+        costs serve time.  If a conditioning pattern is known upfront,
+        build the DIRT with those coordinates leading.
       q_rest: (M, d-k) REFERENCE-space seeds for the remaining
         coordinates ([0,1] uniform or (-S,S) truncated normal,
         whatever ``dirt.reference`` is — e.g. from ``randref``).
@@ -101,6 +174,17 @@ def tt_dirt_cond_sample(dirt: DIRT, xfix, q_rest, logpostfun=None,
       first k columns pinned to ``xfix``, the log conditional
       pushforward density, and optionally the exact joint log-density.
     """
+    if cond_dims is not None:
+        from .dirt import dirt_permute
+
+        perm, inv = _perm_for(cond_dims, dirt.d)
+        inv_arr = jnp.asarray(inv)
+        lpperm = (None if logpostfun is None
+                  else (lambda zp: logpostfun(zp[:, inv_arr])))
+        out = tt_dirt_cond_sample(dirt_permute(dirt, perm, perm_eps),
+                                  xfix, q_rest, logpostfun=lpperm,
+                                  precision=precision)
+        return (out[0][:, inv_arr],) + out[1:]
     q_rest = jnp.atleast_2d(jnp.asarray(q_rest))
     m = q_rest.shape[0]
     xfix = _broadcast_fix(xfix, m)

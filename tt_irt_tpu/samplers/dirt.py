@@ -78,6 +78,31 @@ def dirt_round(dirt: "DIRT", eps: float, rmax=None) -> "DIRT":
                 history=dirt.history)
 
 
+def dirt_permute(dirt: "DIRT", perm, eps: float = 1e-12) -> "DIRT":
+    """Reorder the DIRT's coordinates: returns the stack that would have
+    been built on the permuted target.
+
+    Every per-level operation (erf reference maps, per-dim spline IRT)
+    is dimension-wise, so a global relabeling of coordinates commutes
+    with the whole transform: permuting each level's TT (ops/tt.py
+    tt_permute, truncation <= ``eps`` relative per TT) and the grid
+    lists yields an exactly equivalent pushforward on permuted
+    coordinates.  Used by tt_dirt_cond_sample(cond_dims=...) to
+    condition on arbitrary coordinate subsets of the triangular map."""
+    from ..ops.tt import tt_permute
+
+    perm = [int(p) for p in perm]
+    return DIRT(tt_permute(dirt.f0, perm, eps),
+                [tt_permute(t, perm, eps) for t in dirt.fs],
+                [dirt.x0[p] for p in perm],
+                [dirt.x[p] for p in perm] if dirt.x else dirt.x,
+                dirt.beta, dirt.lfshift,
+                dirt.reference, dirt.interpolation,
+                evalcnt=dirt.evalcnt,
+                fprev=None,  # resume warm-start is order-specific
+                history=dirt.history)
+
+
 @jax.tree_util.register_pytree_node_class
 class DIRT:
     """DIRT stack: level-0 sqrt-density + L sqrt-ratio TTs over a beta
