@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--nsamples", type=int, default=512)
     ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--objective", choices=["reverse", "forward"],
+                    default="forward",
+                    help="forward (IS-weighted MLE, mass-covering) is "
+                         "the measured winner for N/ESS")
     ap.add_argument("--log2n-eval", type=int, default=14)
     args = ap.parse_args()
 
@@ -60,7 +64,8 @@ def main():
     t0 = time.time()
     tuned, losses = dirt_finetune(dirt, lp, steps=args.steps,
                                   nsamples=args.nsamples, lr=args.lr,
-                                  seed=1, verb=1)
+                                  seed=1, verb=1,
+                                  objective=args.objective)
     t_ft = time.time() - t0
 
     z, lfapp = tt_dirt_sample(tuned, q)

@@ -46,9 +46,10 @@ def _rebuild(dirt: DIRT, f0_cores, fs_cores) -> DIRT:
 def dirt_finetune(dirt: DIRT, lpfun, *, steps: int = 100,
                   nsamples: int = 512, lr: float = 3e-3,
                   optimizer=None, trainable: str = "all",
+                  objective: str = "reverse",
                   seed: int = 0, seed_margin: float = 1e-3,
                   verb: int = 0):
-    """Fine-tune the TT cores of ``dirt`` by stochastic reverse-KL descent.
+    """Fine-tune the TT cores of ``dirt`` by stochastic KL descent.
 
     Args:
       dirt: a built DIRT stack (e.g. from ``tt_dirt_approx`` or a
@@ -63,6 +64,15 @@ def dirt_finetune(dirt: DIRT, lpfun, *, steps: int = 100,
       optimizer: any optax GradientTransformation; default Adam(lr).
       trainable: 'all' (level-0 and every ratio level), 'levels'
         (freeze level-0), or 'f0' (train only level-0).
+      objective: 'reverse' (default) minimizes KL(T_# rho || pi) by the
+        reparametrized surrogate mean(lfapp - lpfun(z)) — mode-seeking,
+        tends to sharpen an over-dispersed map.  'forward' minimizes
+        KL(pi || T_# rho) by self-normalized importance weighting: draw
+        z from the CURRENT map (stop-gradient), weight by
+        softmax(lpfun(z) - lfapp), and ascend the weighted pushforward
+        log-likelihood (density at fixed z via ``tt_dirt_inverse``) —
+        mass-covering, the right direction when the map misses tails.
+        (~2x the cost per step: one forward + one inverse transform.)
       seed: PRNG seed for the minibatch stream.
       seed_margin: seeds are drawn in [m, 1-m]; the CDF inversion is
         non-differentiable exactly at the box boundary.
@@ -71,7 +81,10 @@ def dirt_finetune(dirt: DIRT, lpfun, *, steps: int = 100,
     Returns:
       (tuned_dirt, losses): the fine-tuned stack (same structure,
       grids, ladder and metadata) and the per-step loss history
-      (numpy array; mean(lfapp - lpfun(z)), i.e. KL up to a constant).
+      (numpy array).  'reverse': mean(lfapp - lpfun(z)) = KL up to a
+      constant; 'forward': the IS-weighted negative pushforward
+      log-likelihood (decreasing = better mass coverage; not a KL
+      value itself).
     """
     if dirt.interpolation not in ("spline",):
         raise NotImplementedError(
@@ -79,6 +92,8 @@ def dirt_finetune(dirt: DIRT, lpfun, *, steps: int = 100,
             f"(got {dirt.interpolation!r})")
     if trainable not in ("all", "levels", "f0"):
         raise ValueError(f"trainable={trainable!r}")
+    if objective not in ("reverse", "forward"):
+        raise ValueError(f"objective={objective!r}")
     if optimizer is None:
         import optax
         optimizer = optax.adam(lr)
@@ -95,11 +110,24 @@ def dirt_finetune(dirt: DIRT, lpfun, *, steps: int = 100,
     if trainable in ("all", "levels") and frozen_fs:
         params["fs"] = frozen_fs
 
-    def loss_fn(p, q):
-        f0c = p.get("f0", frozen_f0)
-        fsc = p.get("fs", frozen_fs)
-        z, lfapp = tt_dirt_sample(_rebuild(dirt, f0c, fsc), q)
-        return jnp.mean(lfapp - lpfun(z))
+    def _stack(p):
+        return _rebuild(dirt, p.get("f0", frozen_f0),
+                        p.get("fs", frozen_fs))
+
+    if objective == "reverse":
+        def loss_fn(p, q):
+            z, lfapp = tt_dirt_sample(_stack(p), q)
+            return jnp.mean(lfapp - lpfun(z))
+    else:
+        from ..samplers.dirt import tt_dirt_inverse
+
+        def loss_fn(p, q):
+            # proposals from the CURRENT map, fixed w.r.t. theta
+            z, lfapp_s = tt_dirt_sample(_stack(p), q)
+            z = jax.lax.stop_gradient(z)
+            w = jax.nn.softmax(jax.lax.stop_gradient(lpfun(z) - lfapp_s))
+            _, lfapp = tt_dirt_inverse(_stack(p), z)
+            return -jnp.sum(w * lfapp)
 
     @jax.jit
     def step(p, opt_state, key):
