@@ -1,13 +1,20 @@
-"""Gradient fine-tuning of a rank-capped DIRT (reverse-KL descent).
+"""Gradient fine-tuning of a rank-capped DIRT (KL descent).
 
 Demonstrates a capability the reference toolbox cannot offer: because
 the whole IRT transform is differentiable in JAX, a cross-built DIRT
 can be trained like a normalizing flow.  The demo builds a deliberately
-rank-capped stack for a strongly-correlated Gaussian (the regime where
-serve-latency budgets cap ranks below what cross interpolation needs),
-then closes part of the remaining N/ESS gap with Adam at the SAME rank.
+rank-capped stack (the regime where serve-latency budgets cap ranks
+below what cross interpolation needs), then closes most of the
+remaining N/ESS gap with Adam at the SAME rank.
 
-Run:  python examples/finetune_dirt.py [--d 6] [--corr 0.55] [--steps 300]
+Problems:
+  gauss — strongly-correlated banded Gaussian (analytic sanity case);
+  shock — the reference's shock-absorber posterior (censored Weibull x
+          Normal-Gamma, test_shock_absorber_tt.m): measured
+          N/ESS 28.9 -> 2.0 at rank 3 with 300 forward-KL steps (~8 s
+          CPU).
+
+Run:  python examples/finetune_dirt.py [--problem shock] [--steps 300]
 """
 import argparse
 import time
@@ -20,9 +27,30 @@ from tt_irt_tpu import (
 )
 
 
+def make_gauss(args):
+    def lp(x):
+        return -0.5 * (jnp.sum(x * x, axis=1) + 2.0 * args.corr
+                       * jnp.sum(x[:, :-1] * x[:, 1:], axis=1))
+
+    grids = [np.linspace(-6, 6, args.n) for _ in range(args.d)]
+    return lp, grids
+
+
+def make_shock(args):
+    from tt_irt_tpu.models.shock_absorber import (
+        ShockConfig, paper_covariates,
+    )
+
+    cfg = ShockConfig(d=6, n=args.n, x=paper_covariates())
+    return cfg.log_posterior_fn(), cfg.grids()
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--d", type=int, default=6)
+    ap.add_argument("--problem", choices=["gauss", "shock"],
+                    default="gauss")
+    ap.add_argument("--d", type=int, default=6,
+                    help="dimension (gauss only; shock is 8)")
     ap.add_argument("--corr", type=float, default=0.55,
                     help="banded correlation; must stay below the "
                          "positive-definiteness bound ~1/(2 cos(pi/(d+1)))")
@@ -38,14 +66,17 @@ def main():
     ap.add_argument("--log2n-eval", type=int, default=14)
     args = ap.parse_args()
 
-    def lp(x):
-        return -0.5 * (jnp.sum(x * x, axis=1) + 2.0 * args.corr
-                       * jnp.sum(x[:, :-1] * x[:, 1:], axis=1))
+    if args.problem == "shock":
+        if args.rank == 2:
+            args.rank = 3
+        lp, grids = make_shock(args)
+    else:
+        lp, grids = make_gauss(args)
+    d = len(grids)
 
     def logratio(x, b0, b1):
         return (b1 - b0) * lp(x)
 
-    grids = [np.linspace(-6, 6, args.n) for _ in range(args.d)]
     t0 = time.time()
     dirt = tt_dirt_approx(grids, logratio, [1.0], stoptol=0.5, nswp=1,
                           kickrank=0, y0=args.rank, rmax=args.rank,
@@ -55,7 +86,7 @@ def main():
 
     rng = np.random.default_rng(7)
     q = jnp.asarray(rng.uniform(1e-4, 1 - 1e-4,
-                                size=(2 ** args.log2n_eval, args.d)))
+                                size=(2 ** args.log2n_eval, d)))
     z, lfapp = tt_dirt_sample(dirt, q)
     lfex = lp(z)
     print(f"before: N/ESS={float(essinv(lfex, lfapp)):.3f}  "
@@ -70,10 +101,11 @@ def main():
 
     z, lfapp = tt_dirt_sample(tuned, q)
     lfex = lp(z)
-    print(f"after {args.steps} Adam steps ({t_ft:.1f}s): "
+    print(f"after {args.steps} Adam steps ({t_ft:.1f}s, "
+          f"{args.objective}): "
           f"N/ESS={float(essinv(lfex, lfapp)):.3f}  "
           f"Hellinger={float(hellinger(lfex, lfapp)):.4f}")
-    print(f"KL surrogate: {losses[0]:+.4f} -> {losses[-10:].mean():+.4f}")
+    print(f"loss: {losses[0]:+.4f} -> {losses[-10:].mean():+.4f}")
 
 
 if __name__ == "__main__":

@@ -93,3 +93,30 @@ def test_finetune_trainable_subsets_and_guards(coarse_dirt):
     tuned, losses = dirt_finetune(coarse_dirt, lp, steps=3, nsamples=64,
                                   lr=1e-3, seed=0, trainable="f0")
     assert len(losses) == 3 and np.all(np.isfinite(losses))
+
+
+def test_finetune_shock_absorber_real_model():
+    """Real (non-Gaussian) posterior: the reference's shock-absorber
+    model (censored Weibull x Normal-Gamma).  Measured: N/ESS 28.9 ->
+    2.0 at rank 3 with 300 forward steps; assert a conservative 5x."""
+    from tt_irt_tpu.models.shock_absorber import (
+        ShockConfig, paper_covariates,
+    )
+
+    cfg = ShockConfig(d=6, n=17, x=paper_covariates())
+    lpfun = cfg.log_posterior_fn()
+    dirt = tt_dirt_approx(cfg.grids(),
+                          lambda x, b0, b1: (b1 - b0) * lpfun(x), [1.0],
+                          stoptol=0.5, nswp=1, kickrank=0, y0=3, rmax=3,
+                          testsamples=0, verb=0, seed=5)
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.uniform(1e-4, 1 - 1e-4, size=(4096, cfg.d + 2)))
+    z0, lf0 = tt_dirt_sample(dirt, q)
+    e0 = float(essinv(lpfun(z0), lf0))
+
+    tuned, losses = dirt_finetune(dirt, lpfun, steps=200, nsamples=512,
+                                  lr=3e-3, seed=1, objective="forward")
+    assert np.all(np.isfinite(losses))
+    z1, lf1 = tt_dirt_sample(tuned, q)
+    e1 = float(essinv(lpfun(z1), lf1))
+    assert e1 < 0.2 * e0
