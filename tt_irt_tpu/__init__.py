@@ -78,6 +78,7 @@ from .constructors.greedy_cross import greedy_cross  # noqa: E402
 from .constructors.dirt_build import tt_dirt_approx  # noqa: E402
 from .constructors.finetune import dirt_finetune  # noqa: E402
 from .constructors.als_cross import als_cross_parametric  # noqa: E402
+from .api import PosteriorResult, sample_posterior  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -111,6 +112,8 @@ __all__ = [
     "DIRT",
     "tt_dirt_sample",
     "dirt_finetune",
+    "sample_posterior",
+    "PosteriorResult",
     "serve_precision",
     "dirt_round",
     "dirt_permute",
