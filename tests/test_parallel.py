@@ -263,3 +263,30 @@ def test_sharded_deep_serve_real_checkpoint():
     np.testing.assert_allclose(np.asarray(lff_sh), np.asarray(lff_ref),
                                atol=1e-10)
     assert len(zf_sh.sharding.device_set) == 8
+
+
+@needs_multi
+def test_finetune_mesh_matches_single_device():
+    """dirt_finetune(mesh=...) computes the data-parallel gradient:
+    identical loss trajectory and identical tuned cores vs the
+    single-device run (sharding is annotation, the psum reduction is
+    the only collective)."""
+    from tt_irt_tpu import dirt_finetune, tt_dirt_approx
+
+    def lp(x):
+        return -0.5 * (jnp.sum(x * x, axis=1)
+                       + 1.1 * jnp.sum(x[:, :-1] * x[:, 1:], axis=1))
+
+    grids = [np.linspace(-6, 6, 9) for _ in range(3)]
+    dirt = tt_dirt_approx(grids, lambda x, b0, b1: (b1 - b0) * lp(x),
+                          [1.0], stoptol=0.5, nswp=1, kickrank=0, y0=2,
+                          rmax=2, testsamples=0, verb=0, seed=5)
+    mesh = sample_mesh(8)
+    t_ref, l_ref = dirt_finetune(dirt, lp, steps=4, nsamples=64,
+                                 lr=1e-3, seed=3)
+    t_sh, l_sh = dirt_finetune(dirt, lp, steps=4, nsamples=64,
+                               lr=1e-3, seed=3, mesh=mesh)
+    np.testing.assert_allclose(l_sh, l_ref, rtol=1e-10)
+    for a, b in zip(t_sh.f0.cores, t_ref.f0.cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-12)

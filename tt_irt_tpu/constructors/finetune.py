@@ -47,6 +47,7 @@ def dirt_finetune(dirt: DIRT, lpfun, *, steps: int = 100,
                   nsamples: int = 512, lr: float = 3e-3,
                   optimizer=None, trainable: str = "all",
                   objective: str = "reverse",
+                  mesh=None,
                   seed: int = 0, seed_margin: float = 1e-3,
                   verb: int = 0):
     """Fine-tune the TT cores of ``dirt`` by stochastic KL descent.
@@ -73,6 +74,12 @@ def dirt_finetune(dirt: DIRT, lpfun, *, steps: int = 100,
         log-likelihood (density at fixed z via ``tt_dirt_inverse``) —
         mass-covering, the right direction when the map misses tails.
         (~2x the cost per step: one forward + one inverse transform.)
+      mesh: optional jax.sharding.Mesh — each step's minibatch is
+        sharded along its sample axis (1-D mesh, same convention as
+        parallel/mesh.py), so the gradient is computed data-parallel
+        across chips with XLA inserting the psum for the reduction;
+        the TT cores (the parameters) stay replicated.  Identical
+        trajectories to the single-device run.
       seed: PRNG seed for the minibatch stream.
       seed_margin: seeds are drawn in [m, 1-m]; the CDF inversion is
         non-differentiable exactly at the box boundary.
@@ -129,6 +136,13 @@ def dirt_finetune(dirt: DIRT, lpfun, *, steps: int = 100,
             _, lfapp = tt_dirt_inverse(_stack(p), z)
             return -jnp.sum(w * lfapp)
 
+    qsharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        qsharding = NamedSharding(
+            mesh, PartitionSpec(mesh.axis_names[0], None))
+
     @jax.jit
     def step(p, opt_state, key):
         import optax
@@ -136,6 +150,8 @@ def dirt_finetune(dirt: DIRT, lpfun, *, steps: int = 100,
                                dtype=frozen_f0[0].dtype,
                                minval=seed_margin,
                                maxval=1.0 - seed_margin)
+        if qsharding is not None:
+            q = jax.lax.with_sharding_constraint(q, qsharding)
         val, g = jax.value_and_grad(loss_fn)(p, q)
         updates, opt_state = optimizer.update(g, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, val
