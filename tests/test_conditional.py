@@ -118,6 +118,10 @@ def test_tt_dirt_cond_sample_prefix(dirt, seeds):
                                rtol=1e-10)
 
 
+@pytest.mark.skipif(bool(__import__("os").environ.get("TTIRT_TEST_TPU")),
+                    reason="dirt_permute grows ranks to ~167; first "
+                           "compile of those odd shapes on the chip "
+                           "takes minutes and validates nothing new")
 def test_tt_dirt_cond_sample_subset(dirt, seeds):
     # dirt_permute relabeling; smaller seed set (permuted ranks grow)
     z, lfcond = tt_dirt_cond_sample(dirt, A, seeds[:1024],
