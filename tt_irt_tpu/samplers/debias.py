@@ -134,6 +134,8 @@ def tt_irt_debias(m, lffun, f: TT, grid, correction: str = "mcmc", key=None):
       correction: 'mcmc' or 'iw'.
     Returns dict with samples/log-densities/diagnostics.
     """
+    import time as _time
+
     if key is None:
         key = jax.random.PRNGKey(0)
     d = f.d
@@ -142,17 +144,26 @@ def tt_irt_debias(m, lffun, f: TT, grid, correction: str = "mcmc", key=None):
         z = jax.random.uniform(sub, (int(m), d), dtype=jnp.float64)
     else:
         z = jnp.asarray(m)
+    t0 = _time.perf_counter()
     y, lfapp = tt_irt_lin(grid, f, z)
+    jax.block_until_ready((y, lfapp))
+    # time_invcdf: wall time in the IRT itself (tt_irt_debias.m:22,49)
+    time_invcdf = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
     lfex = lffun(y)
+    jax.block_until_ready(lfex)
+    time_eval = _time.perf_counter() - t0
     if correction.lower().startswith("mcmc"):
         key, sub = jax.random.split(key)
         res = mcmc_prune(y, lfex, lfapp, key=sub)
         return {
             "y": res.y, "lFex": res.lfex, "lFapp": res.lfapp,
             "bias": res.num_rejects, "accepted": res.accepted,
+            "time_invcdf": time_invcdf, "time_eval": time_eval,
         }
     res = iw_prune(lfex, lfapp)
     return {
         "y": y, "lFex": res.lfex, "lFapp": lfapp, "bias": res.isstd,
         "max_ratio": res.max_ratio, "err1": res.err1,
+        "time_invcdf": time_invcdf, "time_eval": time_eval,
     }
