@@ -131,3 +131,20 @@ def test_tt_dirt_cond_sample_subset(dirt, seeds):
     zs = np.asarray(z[:, rest])
     assert np.abs(zs.mean(0) - mu).max() < 6.0 / np.sqrt(1024)
     assert float(essinv(lp(z), lfcond)) < 1.05
+
+
+def test_tt_irt_cond_lin_mode():
+    """v1 pipeline conditional: f is the density itself (tt_irt_lin.m);
+    substitution gives the exact conditional without squaring."""
+    def fun(ind):
+        pts = jnp.stack([jnp.asarray(GRIDS[k])[np.asarray(ind)[:, k]]
+                         for k in range(D)], 1)
+        return np.asarray(jnp.exp(lp(pts)))  # density, not sqrt
+
+    f = amen_cross_s([N] * D, fun, 1e-9, tol_exit=1e-9).tt
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.uniform(1e-6, 1 - 1e-6, (1 << 12, D - 2)))
+    z, lfcond = tt_irt_cond(GRIDS, f, A, q, cond_dims=[1, 3], mode="lin")
+    assert float(essinv(lp(z), lfcond)) < 1.02
+    with pytest.raises(ValueError):
+        tt_irt_cond(GRIDS, f, np.tile(A, (q.shape[0], 1)), q, mode="lin")

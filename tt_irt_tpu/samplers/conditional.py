@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..ops.tt import TT
 from .dirt import DIRT, tt_dirt_inverse, tt_dirt_sample
-from .irt import tt_irt_sqr, tt_rt_sqr
+from .irt import tt_irt_lin, tt_irt_sqr, tt_rt_sqr
 
 __all__ = ["tt_irt_cond", "tt_dirt_cond_sample"]
 
@@ -58,7 +58,8 @@ def _perm_for(cond_dims, d):
     return perm, inv
 
 
-def tt_irt_cond(grid, f: TT, xfix, q_rest, cond_dims=None, **kwargs):
+def tt_irt_cond(grid, f: TT, xfix, q_rest, cond_dims=None,
+                mode: str = "sqr", **kwargs):
     """Sample the conditional z_rest | z_cond = xfix from a sqrt-density TT.
 
     Two exact mechanisms, chosen automatically:
@@ -83,6 +84,10 @@ def tt_irt_cond(grid, f: TT, xfix, q_rest, cond_dims=None, **kwargs):
       xfix: (k,) one conditioning point, or (M, k) one per seed row.
       cond_dims: which coordinates xfix fixes (default: the first k).
         Arbitrary subsets require the single-point form.
+      mode: 'sqr' (f is the sqrt-density, SIRT — default) or 'lin'
+        (f is the density itself, the v1 tt_irt_lin.m pipeline;
+        single-point form only — the reference has no forward
+        transform for the lin map either).
       q_rest: (M, d-k) uniform seeds for the remaining coordinates (in
         original-dimension order).
       kwargs: forwarded to the underlying samplers (block, precision...).
@@ -117,7 +122,8 @@ def tt_irt_cond(grid, f: TT, xfix, q_rest, cond_dims=None, **kwargs):
                 f"xfix ({len(dims)} cols) + q_rest ({q_rest.shape[1]} "
                 f"cols) must cover all {f.d} dimensions")
         f_sub, grids_sub = tt_partial_eval(f, grid, dims, xarr[0])
-        z_rest, lfcond = tt_irt_sqr(grids_sub, f_sub, q_rest, **kwargs)
+        sampler = {"sqr": tt_irt_sqr, "lin": tt_irt_lin}[mode]
+        z_rest, lfcond = sampler(grids_sub, f_sub, q_rest, **kwargs)
         m = q_rest.shape[0]
         rest = [i for i in range(f.d) if i not in set(dims)]
         z = jnp.zeros((m, f.d), z_rest.dtype)
@@ -125,6 +131,9 @@ def tt_irt_cond(grid, f: TT, xfix, q_rest, cond_dims=None, **kwargs):
         z = z.at[:, jnp.asarray(dims)].set(
             jnp.broadcast_to(xarr[0], (m, len(dims))))
         return z, lfcond
+    if mode != "sqr":
+        raise ValueError("per-seed conditioning rows require mode='sqr' "
+                         "(no forward transform exists for the lin map)")
     m = q_rest.shape[0]
     xfix = _broadcast_fix(xfix, m)
     k = xfix.shape[1]
