@@ -72,6 +72,22 @@ class DirtOptions:
     # (SURVEY §2.6 "data-parallel cross evaluation"; the reference's hot
     # path amen_cross_s.m:704-760).  None = single device.
     mesh: Optional[object] = None
+    # How the user density is evaluated (the reference drives *arbitrary*
+    # user functions, including non-vectorized ones, via its parfor
+    # wrapper, tt_dirt_approx.m:483-499):
+    #   'auto' (default) — jit the density together with the DIRT push;
+    #     if tracing fails (numpy/legacy-solver densities raise
+    #     jax.errors.JAXTypeError), permanently fall back to the host
+    #     path below with a warning.
+    #   True  — require a JAX-traceable density (round-2 behavior).
+    #   'host' — vectorized host function: the DIRT pushes still run
+    #     jitted on device, only the density itself is called on host
+    #     with concrete numpy (M, d) points (SURVEY §7 hard-part 3).
+    #   False — non-vectorized host function: called one (1, d) row at
+    #     a time (the parfor-wrapper analog; slow, maximum generality).
+    # mesh= requires a traceable density (vec True/'auto' without
+    # fallback): sharded probe fan-out cannot cross into host code.
+    vec: bool | str = "auto"
     extra: dict = field(default_factory=dict)
 
 
@@ -176,27 +192,90 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
         return [g[1:-1] for g in grids]
 
     # ------------------------------------------------------------------
+    # Density-evaluation mode (reference parity: tt_dirt_approx.m drives
+    # arbitrary user density functions, tt_dirt_approx.m:483-499)
+    # ------------------------------------------------------------------
+    vec = opt.vec
+    if opt.mesh is not None and (vec is False or str(vec) == "host"):
+        raise ValueError("mesh sharding requires a JAX-traceable density "
+                         f"(vec=True or 'auto'); vec={vec!r} given")
+    # sticky host-fallback state: once any level's jit trace fails with
+    # a tracer-misuse error, every later evaluation (and every retry of
+    # the current one) takes the host path
+    _host = {"on": vec is False or str(vec) == "host"}
+    _auto = (str(vec) == "auto") and opt.mesh is None
+
+    def _logpost_host(x, blo, bhi):
+        """User density on host, concrete numpy in/out.  vec=False
+        densities are called one (1, d) row at a time — the analog of
+        the reference's parfor wrapper (tt_dirt_approx.m:488-498)."""
+        x = np.asarray(x)
+        if vec is False:
+            return np.stack([
+                np.atleast_1d(np.asarray(
+                    logpostfun(x[k:k + 1], blo, bhi))).reshape(-1)[0]
+                for k in range(x.shape[0])])
+        return np.asarray(logpostfun(x, blo, bhi)).reshape(-1)
+
+    def _logpost_eval(x, blo, bhi):
+        """Density at *concrete* points (level self-tests, lfshift
+        probes): host path when active, direct call otherwise."""
+        if _host["on"]:
+            return jnp.asarray(_logpost_host(x, blo, bhi))
+        return logpostfun(x, blo, bhi)
+
+    # ------------------------------------------------------------------
     # Level 0
     # ------------------------------------------------------------------
-    def _batch_eval(fn):
+    def _batch_eval(fn, host_fn):
         """Device evaluation of one probe batch; sharded over the
-        sample axis when a mesh is configured.  Both paths jit: a
+        sample axis when a mesh is configured.  Both device paths jit: a
         sharded and an unsharded build then produce BITWISE-identical
         evaluations (eager-vs-jit fusion differences are ulp-level, but
         the cross's pivot selection amplifies ulps into different —
         equally valid — approximations, which would make multi-chip
-        builds irreproducible against single-chip ones)."""
+        builds irreproducible against single-chip ones).  ``host_fn``
+        is the host-density path: forced by vec=False/'host', or the
+        sticky fallback target when vec='auto' and tracing ``fn``
+        fails (numpy/legacy-solver densities)."""
+        if _host["on"]:
+            return host_fn
         if opt.mesh is not None:
             from ..parallel.mesh import sharded_batch_fn
 
             return sharded_batch_fn(opt.mesh, fn)
         jfn = jax.jit(fn)
-        return lambda x: np.asarray(jfn(jnp.asarray(x)))
+
+        def call(x):
+            if _host["on"]:
+                return host_fn(x)
+            try:
+                return np.asarray(jfn(jnp.asarray(x)))
+            except jax.errors.JAXTypeError as e:
+                if not _auto:
+                    raise
+                import warnings
+
+                warnings.warn(
+                    "logpostfun is not JAX-traceable "
+                    f"({type(e).__name__}); falling back to host-side "
+                    "density evaluation (DIRT pushes stay on device). "
+                    "Pass vec='host' (or vec=False for non-vectorized "
+                    "functions) to silence this.", stacklevel=2)
+                _host["on"] = True
+                return host_fn(x)
+
+        return call
 
     if irtstruct is None:
         lvl0_grids = cross_grids(x0)
+
+        def _eval0_host(x):
+            return np.exp(0.5 * _logpost_host(x, 0.0, float(beta[0])))
+
         eval0 = _batch_eval(
-            lambda x: jnp.exp(0.5 * logpostfun(x, 0.0, float(beta[0]))))
+            lambda x: jnp.exp(0.5 * logpostfun(x, 0.0, float(beta[0]))),
+            _eval0_host)
 
         def fun0(ind):
             ind = np.asarray(ind)
@@ -232,7 +311,7 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
             key, sub = jax.random.split(key)
             y = randref(reference, sub, (ntest0, d))
             z0, lfapp, lfex = tt_dirt_sample(
-                dirt, y, lambda x: logpostfun(x, 0.0, float(beta[0])))
+                dirt, y, lambda x: _logpost_eval(x, 0.0, float(beta[0])))
             tau0 = float(essinv(lfex, lfapp))
             if opt.verb:
                 print(f"[dirt] level 0 beta={beta[0]:g}: N/ESS = {tau0:g}")
@@ -345,7 +424,7 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
             yp = randref(reference, sub, (256, d))
             zp, lfp = tt_dirt_sample(cur_dirt, yp,
                                      precision=opt.precision)
-            lrp = logpostfun(zp, 0.0, b_hi) - lfp
+            lrp = _logpost_eval(zp, 0.0, b_hi) - lfp
             lfshift = float(jnp.max(lrp))
             evalcnt[ilvl] += 256
 
@@ -362,7 +441,25 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
                 lr = lr - 0.5 * jnp.sum(x * x, axis=1)
             return jnp.exp(0.5 * lr)
 
-        evall = _batch_eval(_push_ratio)
+        # Host-density variant: the DIRT push (pure TT arithmetic) still
+        # runs jitted on device; only the user density crosses to host
+        # with concrete numpy points — SURVEY §7 hard-part 3's split.
+        _push_jit = jax.jit(
+            lambda x, _dirt=cur_dirt: tt_dirt_sample(
+                _dirt, x, precision=opt.precision))
+
+        def _push_ratio_host(x, _blo=b_lo, _bhi=b_hi, _shift=lfshift,
+                             _denom=use_denom):
+            z, lfapp = _push_jit(jnp.asarray(x))
+            blo = 0.0 if _denom else _blo
+            lr = _logpost_host(z, blo, _bhi) - _shift
+            if _denom:
+                lr = lr - np.asarray(lfapp)
+            if sigma is not None:
+                lr = lr - 0.5 * np.sum(np.asarray(x) ** 2, axis=1)
+            return np.exp(0.5 * lr)
+
+        evall = _batch_eval(_push_ratio, _push_ratio_host)
 
         def funl(ind):
             ind = np.asarray(ind)
@@ -406,7 +503,7 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
             key, sub = jax.random.split(key)
             y = randref(reference, sub, (ntest, d))
             z, lfapp, lfex = tt_dirt_sample(
-                cand, y, lambda x: logpostfun(x, 0.0, b_hi))
+                cand, y, lambda x: _logpost_eval(x, 0.0, b_hi))
             key, sub = jax.random.split(key)
             nrej = mcmc_prune(z, lfex, lfapp, key=sub).num_rejects
             tau = float(essinv(lfex, lfapp))
