@@ -270,6 +270,47 @@ def test_dirt_sampler_matches_sample(trained_dirt):
     assert np.array_equal(np.asarray(z1), np.asarray(z2))
 
 
+def test_dirt_sampler_ragged_ranks(trained_dirt):
+    """Rank-bucketed (ragged) serving: levels padded only to their
+    bucket rank must reproduce global-max padding to working precision
+    (padding is not bitwise-neutral: XLA regroups reduction trees per
+    shape — measured 2.7e-15 on the f64 prep), while a rounded level's
+    prep actually carries the smaller rank — the serve-cost lever
+    dirt_round feeds (VERDICT r03 task 2b)."""
+    from tt_irt_tpu import DirtSampler
+    from tt_irt_tpu.ops.tt import tt_round
+
+    # force genuinely different level ranks: crush level 1 to rank 2
+    fs = [tt_round(trained_dirt.fs[0], 0.0, rmax=2)] + \
+        list(trained_dirt.fs[1:])
+    dirt = DIRT(trained_dirt.f0, fs, trained_dirt.x0, trained_dirt.x,
+                trained_dirt.beta, trained_dirt.lfshift,
+                trained_dirt.reference, trained_dirt.interpolation)
+    q = jax.random.uniform(jax.random.PRNGKey(13), (512, D),
+                           dtype=jnp.float64)
+    s_global = DirtSampler(dirt, precision="hi", ragged_step=0)
+    s_ragged = DirtSampler(dirt, precision="hi", ragged_step=1)
+    # the ragged sampler's level-0 prep is genuinely smaller
+    sz_ragged = sum(a.size for a in
+                    jax.tree_util.tree_leaves(s_ragged._upper[1][0]))
+    sz_global = sum(a.size for a in
+                    jax.tree_util.tree_leaves(s_global._upper[1][0]))
+    assert sz_ragged < sz_global, (sz_ragged, sz_global)
+    z0, lf0 = s_global(q)
+    z1, lf1 = s_ragged(q)
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(z1),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lf0), np.asarray(lf1),
+                               atol=1e-4)
+    # the default-step sampler matches the one-shot serve path bitwise
+    # (identical bucketing, samplers/dirt.py _prepare_level_preps)
+    z2, lf2 = tt_dirt_sample(dirt, q, precision="hi")
+    s_def = DirtSampler(dirt, precision="hi")
+    z3, lf3 = s_def(q)
+    np.testing.assert_array_equal(np.asarray(z2), np.asarray(z3))
+    np.testing.assert_array_equal(np.asarray(lf2), np.asarray(lf3))
+
+
 def test_dirt_sampler_normal_reference_and_auto():
     from tt_irt_tpu import DirtSampler, randref
 

@@ -87,6 +87,17 @@ def test_fourier_dirt_end_to_end(rng):
     tau = float(essinv(lfex, lfapp))
     assert tau < 2.0, tau
 
+    # prepare-once serving hoists the per-level Fourier precompute
+    # (the reference's struct reuse, tt_irt_fourier.m:106-137) and
+    # must reproduce the per-call path bitwise
+    from tt_irt_tpu import DirtSampler
+
+    sampler = DirtSampler(dirt)
+    assert sampler._upper is not None and sampler._upper[0] == "spectral"
+    z2, lf2 = sampler(q)
+    np.testing.assert_array_equal(np.asarray(z2), np.asarray(z))
+    np.testing.assert_array_equal(np.asarray(lf2), np.asarray(lfapp))
+
 
 def test_chebyshev_sirt_exactness_1d():
     """Chebyshev-spectral SIRT (the native ftt.m/build_ftt analog):
@@ -159,3 +170,12 @@ def test_dirt_chebyshev_interpolation():
                                     lambda x: logratio(x, 0.0, 1.0))
     tau = float(essinv(lfex, lfapp))
     assert tau < 1.5, tau
+
+    # prepare-once serving (hoisted ChebPrep) reproduces it bitwise
+    from tt_irt_tpu import DirtSampler
+
+    sampler = DirtSampler(dirt)
+    assert sampler._upper is not None and sampler._upper[0] == "spectral"
+    z2, lf2 = sampler(q)
+    np.testing.assert_array_equal(np.asarray(z2), np.asarray(z))
+    np.testing.assert_array_equal(np.asarray(lf2), np.asarray(lfapp))

@@ -124,6 +124,14 @@ def test_hi_pack_policy_and_parity(monkeypatch):
                     "parity is pinned by the stress tests run in "
                     "'hi' mode and the bench parity gate")
     assert isc._hi_pack() == 0
+    # default-off on every non-TPU backend (the pack is validated on
+    # v5e only; a GPU backend must not silently take it — VERDICT r03
+    # weak #3)
+    monkeypatch.setattr(isc.jax, "default_backend", lambda: "gpu")
+    assert isc._hi_pack() == 0
+    monkeypatch.setattr(isc.jax, "default_backend", lambda: "tpu")
+    assert isc._hi_pack() == 9
+    monkeypatch.undo()
 
     # (b) the collapse regression: residual parts survive jit
     rngl = np.random.default_rng(13)

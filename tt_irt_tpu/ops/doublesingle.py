@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "two_sum", "fast_two_sum", "two_prod", "ds_add", "ds_mul",
+    "ds_sub", "ds_div", "ds_sqrt",
     "ds_from_f64", "ds_to_f64", "ds_sum_pairwise", "ds_scale_exact",
     "ds_cumsum",
 ]
@@ -72,6 +73,35 @@ def ds_mul(xh, xl, yh, yl):
     p, e = two_prod(xh, yh)
     e = e + (xh * yl + xl * yh)
     return fast_two_sum(p, e)
+
+
+def ds_sub(xh, xl, yh, yl):
+    """Double-single subtraction (x - y)."""
+    return ds_add(xh, xl, -yh, -yl)
+
+
+def ds_div(xh, xl, yh, yl):
+    """Double-single division (x / y), ~2^-47 relative: f32 quotient
+    plus one Newton correction computed with an error-free residual
+    (q1 = q0 + (x - q0*y)/y).  y must be nonzero."""
+    q0 = xh / yh
+    # residual r = x - q0*y in ds: q0*yh via two_prod is exact
+    p, e = two_prod(q0, yh)
+    rh, rl = ds_add(xh, xl, -p, -e)
+    rl = rl - q0 * yl
+    return fast_two_sum(q0, (rh + rl) / yh)
+
+
+def ds_sqrt(xh, xl):
+    """Double-single square root (x >= 0), ~2^-47 relative: f32 sqrt
+    plus one Newton correction s1 = s0 + (x - s0^2)/(2 s0).  Zero-safe
+    (returns 0 for x == 0)."""
+    s0 = jnp.sqrt(xh)
+    p, e = two_prod(s0, s0)
+    rh, rl = ds_add(xh, xl, -p, -e)
+    den = jnp.where(s0 > 0.0, 2.0 * s0, 1.0)
+    corr = jnp.where(s0 > 0.0, (rh + rl) / den, 0.0)
+    return fast_two_sum(s0, corr)
 
 
 def ds_from_f64(x):

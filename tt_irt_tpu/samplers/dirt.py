@@ -59,15 +59,19 @@ def dirt_round(dirt: "DIRT", eps: float, rmax=None) -> "DIRT":
     Serve cost per level scales ~r^2, so shrinking ranks trades
     raw-sample quality (N/ESS) for throughput; debiasing stays exact
     either way (the returned log-density is the Jacobian of the
-    *realized* map).  Measured on the shipped lz40n33 checkpoint (CPU
-    f64, 2^14 seeds): eps=3e-3 shrinks early levels to rank 18-22 at
-    IDENTICAL N/ESS 1.367; eps=1e-2 reaches ranks 12-22 (~1.35x less
-    serve compute) at N/ESS 1.463; eps=3e-2 over-truncates (2.55).
-    The late (high-beta) levels are genuinely full-rank and do not
-    shrink — the knob helps most on stacks built with generous rank
-    caps.  The reference has no analog (its IRTstruct is served
-    as-built); this exists because serving is the TPU-resident
-    production path here."""
+    *realized* map).  Measured on the shipped lz40n33 checkpoint at
+    2^20 seeds on v5e ('hi'): eps=3e-3 shrinks the first three levels
+    to ranks 18-22 and degrades N/ESS 1.57 -> 1.82 (the earlier 2^14
+    CPU probe reporting "identical 1.367" lacked chi^2 resolution —
+    BENCH_NOTES round 3, "dirt_round is not a deep-serve lever");
+    eps=1e-2 reaches ranks 12-22.  The rank reduction only buys serve
+    time with rank-bucketed serving (DirtSampler ragged_step, the
+    default): global max-rank padding pads the savings away.  The
+    late (high-beta) levels are genuinely full-rank and do not shrink
+    — the knob helps most on stacks built with generous rank caps.
+    The reference has no analog (its IRTstruct is served as-built);
+    this exists because serving is the TPU-resident production path
+    here."""
     from ..ops.tt import tt_round
 
     return DIRT(tt_round(dirt.f0, eps, rmax),
@@ -175,63 +179,90 @@ def _resolve_precision(dirt: DIRT, precision):
     return "f64" if dirt.f0.dtype == jnp.float64 else "f32"
 
 
-def _stack_levels(dirt: DIRT):
-    """Stack the upper-level TTs (shared grids ``dirt.x``) zero-padded
-    to a common max rank: (L, d, r, n, r).  Returns None when the
-    levels are not scan-eligible (mixed mode sizes etc.)."""
-    from .irt import _canon_grid
-    from .irt_scan import can_use_scan, stack_padded
+def _prepare_level_preps(dirt: DIRT, precision, stable, fused,
+                         ragged_step: int = 4):
+    """Per-level forward preparations for the spline upper levels,
+    vmapped per RANK BUCKET.
 
-    if dirt.nlevels < 2:
+    Levels are zero-padded only to their rank rounded up to a multiple
+    of ``ragged_step`` (capped at the stack max) and stacked per
+    bucket, so a ``dirt_round``'ed level's forward costs ~its OWN r^2
+    instead of the global max rank's (the serve-cost lever of
+    dirt_round; global padding was a vmap artifact — the reference
+    serves per-level cores as-built, tt_irt_sqr.m:43-81).  The vmapped
+    per-bucket prep keeps the L-x batching win (the prep is
+    overhead-bound: ~137 ms/level of f64-emulated small ops at the
+    lz40n33 shape).  NOTE: padded results agree only to working
+    precision, not bitwise — XLA regroups reduction trees per shape,
+    so real summands associate differently (measured 2.7e-15 on the
+    f64 prep).  Every consumer of a given stack must therefore use the
+    SAME bucketing (tt_dirt_sample and DirtSampler both default to
+    step 4).  Returns a per-level list of prep pytrees, or None when
+    the stack is not scan-eligible."""
+    from .irt import _canon_grid
+    from .irt_scan import _prep_levels_jit, can_use_scan, stack_padded
+
+    if dirt.nlevels < 1:
         return None
-    stacks, xstack = [], None
+    level_cs, xstack = [], None
     for f in dirt.fs:
         gs, fc = _canon_grid(dirt.x, f)
         if not can_use_scan(fc, gs, fc.d):
             return None
         cs, xstack = stack_padded(fc, gs)
-        stacks.append(cs)
-    if len({(s.shape[0], s.shape[2]) for s in stacks}) > 1:
+        level_cs.append(cs)
+    if len({(c.shape[0], c.shape[2]) for c in level_cs}) > 1:
         return None  # levels disagree on (d, n): no common program
-    rmax = max(s.shape[1] for s in stacks)
-    padded = []
-    for s in stacks:
-        r = s.shape[1]
-        if r < rmax:
-            s = jnp.pad(s, ((0, 0), (0, rmax - r), (0, 0),
-                            (0, rmax - r)))
-        padded.append(s)
-    return jnp.stack(padded, axis=0), xstack
+    rmax = max(c.shape[1] for c in level_cs)
+    step = int(ragged_step)
+
+    def bucket_rank(r):
+        if step <= 0:
+            return rmax
+        return min(-(-r // step) * step, rmax)
+
+    buckets: dict = {}
+    for j, cs in enumerate(level_cs):
+        buckets.setdefault(bucket_rank(cs.shape[1]), []).append((j, cs))
+    per_level = [None] * dirt.nlevels
+    for rb, items in sorted(buckets.items()):
+        padded = []
+        for _, cs in items:
+            r = cs.shape[1]
+            if r < rb:
+                cs = jnp.pad(cs, ((0, 0), (0, rb - r), (0, 0),
+                                  (0, rb - r)))
+            padded.append(cs)
+        preps = _prep_levels_jit("sqr", jnp.stack(padded, axis=0),
+                                 xstack, precision, stable, fused=fused)
+        for pos, (j, _) in enumerate(items):
+            per_level[j] = jax.tree_util.tree_map(
+                lambda a, _p=pos: a[_p], preps)
+    return per_level
 
 
 def _serve_upper_levels(dirt: DIRT, z, lfapp, precision):
-    """Deep-serve fast path for the spline upper levels: ONE vmapped
-    backward preparation for all L levels (the per-level prep is
-    overhead-bound — ~137 ms/level of f64-emulated small ops at the
-    lz40n33 shape — so batching it is ~L x cheaper), then the usual
-    blocked forward per level.  Returns (z, lfapp) or None if the
-    stack is not eligible."""
+    """Deep-serve fast path for the spline upper levels: vmapped
+    backward preparation per rank bucket (see _prepare_level_preps),
+    then the usual blocked forward per level.  Returns (z, lfapp) or
+    None if the stack is not eligible."""
     import jax as _jax
 
     from .irt import auto_block
-    from .irt_scan import (_prep_levels_jit, _use_fused, fwd_blocked)
+    from .irt_scan import _use_fused, fwd_blocked
 
-    stacked = _stack_levels(dirt)
-    if stacked is None:
-        return None
-    cstacks, xstack = stacked
     prec = _resolve_precision(dirt, precision)
     stable = _jax.default_backend() != "tpu"
     fused = _use_fused("sqr", prec)
-    preps = _prep_levels_jit("sqr", cstacks, xstack, prec, stable,
-                             fused=fused)
+    preps = _prepare_level_preps(dirt, prec, stable, fused)
+    if preps is None:
+        return None
     sigma = dirt.sigma
     block = auto_block(z.shape[0])
     for j in range(dirt.nlevels - 1, -1, -1):
         if sigma is not None:
             z = tnormal_to_uniform(z, sigma)
-        prep_j = jax.tree_util.tree_map(lambda a: a[j], preps)
-        z, dlf = fwd_blocked("sqr", prec, prep_j, z, block, fused)
+        z, dlf = fwd_blocked("sqr", prec, preps[j], z, block, fused)
         lfapp = lfapp + dlf
         if sigma is not None:
             lfapp = lfapp - tnormal_logdensity_shift(z, sigma)

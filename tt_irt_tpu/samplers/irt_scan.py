@@ -133,14 +133,20 @@ def _hi_ortho() -> bool:
 
 
 def _hi_pack() -> int:
-    """Resolved pack width: 0 = unpacked HIGHEST matmuls."""
+    """Resolved pack width: 0 = unpacked HIGHEST matmuls.
+
+    Defaults on ONLY for TPU-class backends: the bit-split pack's
+    entire rationale is TPU MXU K-tiling, and its correctness depends
+    on the TPU compiler's bf16-propagation behavior (validated on v5e;
+    see _bf16_split_f32).  Other accelerators (GPU) get the unpacked
+    HIGHEST path unless TTIRT_HI_PACK forces the pack."""
     if _HI_PACK_ENV:
         if _HI_PACK_ENV in ("0", "false"):
             return 0
         if _HI_PACK_ENV in ("9", "62"):
             return int(_HI_PACK_ENV)
         return 6
-    return 9 if jax.default_backend() not in ("cpu",) else 0
+    return 9 if jax.default_backend() == "tpu" else 0
 
 
 def _bf16_split_f32(v):
@@ -999,11 +1005,149 @@ def _step_factor_fused(mode, n, carry, inp):
     return (phi, lf), out
 
 
+# Serve-epilogue arithmetic: 'ds' (default) runs the within-cell
+# quadratic inversion in double-single f32 pairs (~2^-47, well under
+# the 1e-5 'hi' parity bar) with the log-density in f32; 'f64' keeps
+# the emulated-f64 epilogue.  The f64 epilogue was measured at
+# ~0.059 s/level-block at the lz40n33 production shape — ~25% of the
+# serve forward and NOT bandwidth-bound (BENCH_NOTES round-3 stage
+# attribution); the ds version is pure VPU f32 (VERDICT r03 task 2a).
+_SERVE_EPI_ENV = _os.environ.get("TTIRT_SERVE_EPI", "ds")
+
+
+def _ds_lex_lt(ah, al, bh, bl):
+    """Lexicographic < on normalized double-single pairs."""
+    return (ah < bh) | ((ah == bh) & (al < bl))
+
+
+def _invert_quadratic_ds(fa, fb, th, tl, uah, ual, ubh, ubl):
+    """Citardauq quadratic-CDF inversion (see irt._invert_quadratic)
+    in double-single f32: solve A(x-ua)^2 + fa (x-ua) = t on [ua, ub]
+    with A = (fb-fa)/(2(ub-ua)).  fa/fb are exact f32 (the CDF rows'
+    dtype); t, ua, ub arrive as ds pairs.  ~2^-47 relative — the same
+    class as the emulated-f64 path against the 1e-5 parity bar."""
+    from ..ops.doublesingle import (ds_add, ds_div, ds_mul, ds_sqrt,
+                                    ds_sub, two_prod)
+
+    zero = jnp.zeros_like(fa)
+    h3h, h3l = ds_sub(ubh, ubl, uah, ual)
+    aqh, aql = ds_div(0.5 * (fb - fa), zero, h3h, h3l)
+    # dq = fa^2 + 4 aq t  (fa^2 error-free via two_prod)
+    ph, pl = two_prod(fa, fa)
+    qth, qtl = ds_mul(aqh, aql, th, tl)
+    dqh, dql = ds_add(ph, pl, 4.0 * qth, 4.0 * qtl)
+    neg = dqh < 0.0
+    dqh = jnp.where(neg, 0.0, dqh)
+    dql = jnp.where(neg, 0.0, dql)
+    sh, sl = ds_sqrt(dqh, dql)
+    denh, denl = ds_add(fa, zero, sh, sl)
+    bad = denh <= 0.0
+    denh = jnp.where(bad, 1.0, denh)
+    denl = jnp.where(bad, 0.0, denl)
+    rh, rl = ds_div(2.0 * th, 2.0 * tl, denh, denl)
+    xkh, xkl = ds_add(uah, ual, rh, rl)
+    xkh = jnp.where(bad, uah, xkh)
+    xkl = jnp.where(bad, ual, xkl)
+    # clip into [ua, ub] (component-wise where keeps pairs normalized)
+    lt = _ds_lex_lt(xkh, xkl, uah, ual)
+    xkh = jnp.where(lt, uah, xkh)
+    xkl = jnp.where(lt, ual, xkl)
+    gt = _ds_lex_lt(ubh, ubl, xkh, xkl)
+    xkh = jnp.where(gt, ubh, xkh)
+    xkl = jnp.where(gt, ubl, xkl)
+    return xkh, xkl
+
+
+def _serve_solve_ds(mode, out9, qp):
+    """Double-single serve epilogue: numerically the ds twin of
+    ``_serve_solve`` with the log-density in f32 (the |dlf| ~ O(1)
+    per-dim terms carry ~2e-7 absolute error each; summed over d*L
+    ~ 560 dims*levels that stays ~1e-5 on lfapp — irrelevant to the
+    essinv/debias consumers and under the 1e-4 'hi' ltol).  All
+    (Mb,)-vector arithmetic is f32 VPU work; the only f64 ops left
+    are the seed split and the final sample reconstruction (one
+    convert + add each)."""
+    from ..ops.doublesingle import (ds_add, ds_div, ds_from_f64,
+                                    ds_mul, ds_sub, ds_to_f64, two_sum)
+
+    c1 = out9[:, 0]
+    cr2 = out9[:, 1]
+    f1 = out9[:, 2]
+    f2 = out9[:, 3]
+    x1h, x1l = out9[:, 4], out9[:, 5]
+    x2h, x2l = out9[:, 6], out9[:, 7]
+    tot = out9[:, 8]
+    qh, ql = ds_from_f64(qp)
+    zero = jnp.zeros_like(qh)
+    if mode == "rt":
+        # forward Rosenblatt: evaluate the CDF at x = qp
+        xkh, xkl = qh, ql
+        ykh, ykl = ds_sub(x2h, x2l, xkh, xkl)     # x2 - x
+        dxh, dxl = ds_sub(xkh, xkl, x1h, x1l)     # x - x1
+        h3h, h3l = ds_sub(x2h, x2l, x1h, x1l)
+        aqh, aql = ds_div(0.5 * (f2 - f1), zero, h3h, h3l)
+        # cl = aq dx^2 + f1 dx + c1
+        t1h, t1l = ds_mul(dxh, dxl, dxh, dxl)
+        t1h, t1l = ds_mul(aqh, aql, t1h, t1l)
+        t2h, t2l = ds_mul(f1, zero, dxh, dxl)
+        clh, cll = ds_add(t1h, t1l, t2h, t2l)
+        clh, cll = ds_add(clh, cll, c1, zero)
+        # cr = tot - (f2 yk - aq yk^2 + cr2)
+        u1h, u1l = ds_mul(f2, zero, ykh, ykl)
+        u2h, u2l = ds_mul(ykh, ykl, ykh, ykl)
+        u2h, u2l = ds_mul(aqh, aql, u2h, u2l)
+        sh_, sl_ = ds_sub(u1h, u1l, u2h, u2l)
+        sh_, sl_ = ds_add(sh_, sl_, cr2, zero)
+        crh, crl = ds_sub(tot, zero, sh_, sl_)
+        use_r = clh > 0.5 * tot
+        oh = jnp.where(use_r, crh, clh)
+        ol = jnp.where(use_r, crl, cll)
+        outh, outl = ds_div(oh, ol, tot, zero)
+        out = ds_to_f64(outh, outl)
+        lah = (x2h - qh) / (x2h - x1h)
+        lbh = 1.0 - lah
+        dlf32 = jnp.log((f1 * lah + f2 * lbh) / tot)
+        return out, dlf32.astype(jnp.float64), lah, lbh
+    # inverse Rosenblatt: selector must equal the in-scan f32 choice
+    right = qh > 0.5
+    # t = target - bracket mass, both sides built from the near tail
+    umh, uml = two_sum(jnp.ones_like(qh), -qh)
+    uml = uml - ql                                 # 1 - q in ds
+    tgh = jnp.where(right, umh, qh)
+    tgl = jnp.where(right, uml, ql)
+    tth, ttl = ds_mul(tgh, tgl, tot, zero)
+    ca = jnp.where(right, cr2, c1)
+    th, tl = ds_sub(tth, ttl, ca, zero)
+    fa = jnp.where(right, f2, f1)
+    fb = jnp.where(right, f1, f2)
+    uah = jnp.where(right, -x2h, x1h)
+    ual = jnp.where(right, -x2l, x1l)
+    ubh = jnp.where(right, -x1h, x2h)
+    ubl = jnp.where(right, -x1l, x2l)
+    xsh, xsl = _invert_quadratic_ds(fa, fb, th, tl, uah, ual, ubh, ubl)
+    xkh = jnp.where(right, -xsh, xsh)
+    xkl = jnp.where(right, -xsl, xsl)
+    out = ds_to_f64(xkh, xkl)
+    # log-density in f32: la/lb from ds numerator (x2 - xk cancels when
+    # xk -> x2; the ds subtract keeps la's ABSOLUTE error ~2^-24 of a
+    # cell, so the f-interp error stays ~eps * |f2 - f1|)
+    nh, _nl = ds_sub(x2h, x2l, xkh, xkl)
+    la32 = jnp.clip(nh / (x2h - x1h), 0.0, 1.0)
+    lb32 = 1.0 - la32
+    dlf32 = jnp.log((f1 * la32 + f2 * lb32) / tot)
+    return out, dlf32.astype(jnp.float64), la32, lb32
+
+
 def _serve_solve(mode, out9, i0, qp):
     """f64 epilogue of the whole-dim CDF kernel
     (ops/pallas_step.cdf_bracket_factor): the within-cell quadratic
     inversion on (Mb,) vectors only — the same tail as
-    _cdf_invert_serve after its one-hot readout."""
+    _cdf_invert_serve after its one-hot readout.  Dispatches to the
+    double-single variant (_serve_solve_ds) unless TTIRT_SERVE_EPI=f64
+    — the emulated-f64 version was ~25% of a serve level-block on v5e
+    and not bandwidth-bound (BENCH_NOTES r03 attribution)."""
+    if _SERVE_EPI_ENV != "f64":
+        return _serve_solve_ds(mode, out9, qp)
     f64 = jnp.float64
     c1 = out9[:, 0].astype(f64)
     cr2 = out9[:, 1].astype(f64)

@@ -29,14 +29,13 @@ import jax.numpy as jnp
 from .dirt import (
     DIRT,
     _level_irt,
+    _prepare_level_preps,
     _resolve_precision,
-    _stack_levels,
     serve_precision,
 )
 from .irt import _canon_grid, auto_block, tt_irt_sqr
 from .irt_scan import (
     _prep_jit,
-    _prep_levels_jit,
     _use_fused,
     can_use_scan,
     fwd_blocked,
@@ -120,10 +119,20 @@ class DirtSampler:
         depth-aware policy (serve_precision), or None for the dtype
         default (matches tt_dirt_sample).
       block: forward block size (default auto_block).
+      ragged_step: levels are zero-padded to their rank rounded UP to
+        a multiple of this (capped at the stack max) and bucketed, so
+        a ``dirt_round``'ed level's forward costs ~its OWN r^2 instead
+        of the global max rank's (the reference serves per-level cores
+        as-built, tt_irt_sqr.m:43-81 — global padding was a vmap
+        artifact).  Different bucketings agree to working precision
+        (not bitwise: XLA regroups reduction trees per shape — see
+        _prepare_level_preps); the default step matches
+        tt_dirt_sample's serve path, which IS bitwise-identical.
+        0 = pad all levels to the global max.
     """
 
     def __init__(self, dirt: DIRT, precision: str | None = None,
-                 block: int | None = None):
+                 block: int | None = None, ragged_step: int = 4):
         if precision == "auto":
             precision = serve_precision(dirt)
         self.dirt = dirt
@@ -133,24 +142,30 @@ class DirtSampler:
         stable = jax.default_backend() != "tpu"
         self._fused = _use_fused("sqr", self.precision)
 
-        # ---- upper levels: one vmapped prep over the stacked TTs ----
+        # ---- upper levels: vmapped preps over rank-bucketed stacks
+        # (shared with tt_dirt_sample's serve path so the two stay
+        # bitwise-equal at the default step; see _prepare_level_preps
+        # for why padding is only working-precision-neutral) ----
         self._upper = None
         if dirt.nlevels and dirt.interpolation.startswith("s"):
-            stacked = _stack_levels(dirt)
-            if stacked is None and dirt.nlevels == 1:
-                # single upper level: prep it alone
-                gs, fc = _canon_grid(dirt.x, dirt.fs[0])
-                if can_use_scan(fc, gs, fc.d):
-                    cs, xs = stack_padded(fc, gs)
-                    self._upper = ("single", _prep_jit(
-                        "sqr", cs, xs, self.precision, stable,
-                        fused=self._fused))
-            elif stacked is not None:
-                cstacks, xstack = stacked
-                preps = _prep_levels_jit("sqr", cstacks, xstack,
-                                         self.precision, stable,
-                                         fused=self._fused)
-                self._upper = ("stacked", preps)
+            per_level = _prepare_level_preps(
+                dirt, self.precision, stable, self._fused,
+                ragged_step=ragged_step)
+            if per_level is not None:
+                self._upper = ("perlevel", per_level)
+        elif dirt.nlevels:
+            # Fourier/Chebyshev stacks: hoist the spectral precompute
+            # (FFT of cores + coefficient squaring) per level — the
+            # reference's precompute-struct reuse, tt_irt_fourier.m:
+            # 106-137; tt_irt_fourier/tt_irt_cheb accept the prep
+            # object in place of the TT.
+            interp = dirt.interpolation.lower()
+            if interp.startswith("c"):
+                from .chebyshev import cheb_precompute as _pre
+            else:
+                from .fourier import fourier_precompute as _pre
+            self._upper = ("spectral",
+                           [_pre(dirt.x, f) for f in dirt.fs])
 
         # ---- level 0 ----
         self._prep0 = None
@@ -160,11 +175,6 @@ class DirtSampler:
             self._prep0 = _prep_jit("sqr", cs0, xs0, self.precision,
                                     stable, fused=self._fused)
 
-    def _upper_prep(self, j):
-        kind, preps = self._upper
-        if kind == "single":
-            return preps
-        return jax.tree_util.tree_map(lambda a: a[j], preps)
 
     def sample(self, q, logpostfun=None):
         """tt_dirt_sample with cached preparations; same return shape."""
@@ -176,10 +186,14 @@ class DirtSampler:
         for j in range(dirt.nlevels - 1, -1, -1):
             if sigma is not None:
                 z = tnormal_to_uniform(z, sigma)
-            if self._upper is not None:
+            if self._upper is not None and self._upper[0] == "perlevel":
                 z, dlf = fwd_blocked("sqr", self.precision,
-                                     self._upper_prep(j), z, block,
+                                     self._upper[1][j], z, block,
                                      self._fused)
+            elif self._upper is not None:
+                # spectral: prep object replaces the TT (grid unused)
+                z, dlf = _level_irt(dirt, self._upper[1][j], z,
+                                    self.precision)
             else:
                 z, dlf = _level_irt(dirt, dirt.fs[j], z, self.precision)
             lfapp = lfapp + dlf
