@@ -77,9 +77,9 @@ def main():
         for k in ("TTIRT_DIM_KERNEL", "TTIRT_DIM_VMEM_MB",
                   "TTIRT_ODIM_KERNEL", "TTIRT_ODIM_VMEM_MB"):
             os.environ.pop(k, None)
-        isc._HI_ORTHO_ENV = ""
+        os.environ.pop("TTIRT_HI_ORTHO", None)
         if cfg == "ortho":
-            isc._HI_ORTHO_ENV = "1"
+            os.environ["TTIRT_HI_ORTHO"] = "1"
         elif cfg.startswith("o"):
             spec = cfg[1:].split(":")
             os.environ["TTIRT_ODIM_KERNEL"] = "1"

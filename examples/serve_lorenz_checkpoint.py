@@ -68,9 +68,11 @@ def main():
     ap.add_argument("--round-eps", type=float, default=None,
                     help="round every level TT to this relative "
                          "tolerance before serving (rank/quality "
-                         "knob; measured on lz40n33: 3e-3 is free, "
-                         "1e-2 trades N/ESS 1.367->1.463 for ~1.35x "
-                         "less serve compute — see dirt_round)")
+                         "knob; measured on lz40n33 at 2^20 on v5e: "
+                         "3e-3 shrinks 3 levels to rank 18-22 and "
+                         "costs N/ESS 1.57->1.82 — only pays with "
+                         "rank-bucketed serving (DirtSampler "
+                         "ragged_step, the default); see dirt_round)")
     ap.add_argument("--skip-quality", action="store_true",
                     help="timing only: skip the exact-posterior "
                          "N/ESS evaluation")

@@ -108,7 +108,7 @@ def test_dim_kernel_matches_xla_serveb(monkeypatch):
     matmuls at the f32 floor, so parity is tolerance-banded at the
     same ~1e-7 class the kernel shows vs f64 (BENCH_NOTES)."""
     from tt_irt_tpu.samplers import irt_scan as isc
-    monkeypatch.setattr(isc, "_HI_ORTHO_ENV", "0")
+    monkeypatch.setenv("TTIRT_HI_ORTHO", "0")
     tt, grids = _mk_tt(d=6, n=17, r=5, seed=11)
     rng = np.random.default_rng(13)
     q = jnp.asarray(rng.uniform(size=(512, 6)))
@@ -138,7 +138,7 @@ def test_dim_kernel_packed_operands(monkeypatch):
     operands (h + m + l == original bitwise), so results again match
     the packed XLA path."""
     from tt_irt_tpu.samplers import irt_scan as isc
-    monkeypatch.setattr(isc, "_HI_ORTHO_ENV", "0")
+    monkeypatch.setenv("TTIRT_HI_ORTHO", "0")
     tt, grids = _mk_tt(d=6, n=17, r=5, seed=17)
     rng = np.random.default_rng(19)
     q = jnp.asarray(rng.uniform(size=(256, 6)))
@@ -173,11 +173,11 @@ def test_odim_kernel_matches_ortho_and_factor_paths(monkeypatch):
     q = jnp.asarray(rng.uniform(size=(512, 6)))
     try:
         # raw-factor serveb (the shipped default)
-        monkeypatch.setattr(isc, "_HI_ORTHO_ENV", "0")
+        monkeypatch.setenv("TTIRT_HI_ORTHO", "0")
         jax.clear_caches()
         x0, l0 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
         # XLA ortho scan body
-        monkeypatch.setattr(isc, "_HI_ORTHO_ENV", "1")
+        monkeypatch.setenv("TTIRT_HI_ORTHO", "1")
         jax.clear_caches()
         x1, l1 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
         # fused ortho whole-dim kernel (interpret mode on CPU)

@@ -85,6 +85,10 @@ def test_numpy_oracle_pins_jax_f64(rng):
     # CDF cannot resolve tail mass below eps_f32 ~ 1e-7 by design).
     ("mixed", 1e-5, 1e-4, True),
     ("hi", 1e-5, 1e-4, True),
+    # gram-serveb: quality == 'hi' on the stress map (measured round
+    # 4: tails 5.7e-8); on-chip it is SLOWER than 'hi' (lane-padded
+    # (Mb, r, r) outer product — see irt_scan._step_gram_b)
+    ("gs", 1e-5, 1e-4, True),
     ("f32", 5e-5, 5e-3, False),
 ])
 def test_reduced_precision_parity_d40_stress(precision, xtol, ltol,
@@ -172,13 +176,13 @@ def test_hi_ortho_policy_and_parity(monkeypatch):
     2-point readout of the conditional matrix v, removing the
     (Mb,n)x(n,r^2) core matmul per dim.  Opt-in (measured slower on
     v5e: XLA materializes v for the second consumer — see the
-    _HI_ORTHO_ENV comment), but numerically first-class: this pins
+    ops/pallas_plan A/B table), but numerically first-class: this pins
     (a) the default-off policy, (b) stress parity vs f64 in the same
     class as the raw-factor path, (c) agreement between the two
     algorithms, and (d) the rt roundtrip through ortho."""
     from tt_irt_tpu.samplers import irt_scan as isc
     assert not isc._ortho_applies("sqr", "hi", False)    # default OFF
-    monkeypatch.setattr(isc, "_HI_ORTHO_ENV", "1")
+    monkeypatch.setenv("TTIRT_HI_ORTHO", "1")
     assert isc._ortho_applies("sqr", "hi", False)
     assert not isc._ortho_applies("sqr", "hid", False)   # ds rows keep
     # the raw-factor operands (cdfk != 'serveb')
@@ -195,7 +199,7 @@ def test_hi_ortho_policy_and_parity(monkeypatch):
         q2, _ = ti.tt_rt_sqr(grids, tt, x1, precision="hi")
         assert float(jnp.max(jnp.abs(q2 - q))) < 1e-5
 
-        monkeypatch.setattr(isc, "_HI_ORTHO_ENV", "")
+        monkeypatch.setenv("TTIRT_HI_ORTHO", "")
         jax.clear_caches()
         x0, l0 = ti.tt_irt_sqr(grids, tt, q, precision="hi")
         assert float(jnp.max(jnp.abs(x1 - x0))) < 1e-5

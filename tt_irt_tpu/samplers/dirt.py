@@ -265,7 +265,8 @@ def _serve_upper_levels(dirt: DIRT, z, lfapp, precision):
         z, dlf = fwd_blocked("sqr", prec, preps[j], z, block, fused)
         lfapp = lfapp + dlf
         if sigma is not None:
-            lfapp = lfapp - tnormal_logdensity_shift(z, sigma)
+            lfapp = lfapp - tnormal_logdensity_shift(
+                z, sigma, reduced=prec != "f64")
     return z, lfapp
 
 
@@ -333,7 +334,9 @@ def tt_dirt_sample(dirt: DIRT, q, logpostfun=None, precision=None,
             lfapp = lfapp + dlf
             if sigma is not None:
                 # subtract the reference log-density at the new points
-                lfapp = lfapp - tnormal_logdensity_shift(z, sigma)
+                lfapp = lfapp - tnormal_logdensity_shift(
+                    z, sigma,
+                    reduced=_resolve_precision(dirt, precision) != "f64")
     if sigma is not None:
         z = tnormal_to_uniform(z, sigma)
     # Level 0 is always spline: the un-tempered density is not band-limited

@@ -125,11 +125,9 @@ _HI_PACK_ENV = _os.environ.get("TTIRT_HI_PACK", "")
 # the numerically-preferred basis for a future fused (Pallas)
 # post-vdot stage, where the single-read structure is exactly what
 # VMEM residency wants.  See BENCH_NOTES round 3.
-_HI_ORTHO_ENV = _os.environ.get("TTIRT_HI_ORTHO", "")
-
-
-def _hi_ortho() -> bool:
-    return _HI_ORTHO_ENV in ("1", "true", "on")
+# (knob resolution lives in ops/pallas_plan.kernel_plan — the single
+# decision point for the opt-in Pallas/basis family, with the measured
+# A/B table that keeps every kernel opt-in)
 
 
 def _hi_pack() -> int:
@@ -917,6 +915,45 @@ def _cdf_rows32(mode, n, fk, x32, xlo, h32, qp32, um32):
     return out9, oh0, oh1, la, 1.0 - la
 
 
+def _step_gram_b(mode, n, carry, inp):
+    """Gram-form serveb step ('gs'): the conditional is ONE matmul
+    fk = (phi (x) phi) @ P against the precomputed Gram semi-marginals
+    — no (Mb, n*r) conditional matrix v is ever materialized, cutting
+    the per-dim HBM traffic from ~3.5 GB (factor form: v write+read
+    1.6 GB + b 1.1 GB + packs) to ~2.3 GB (g 1.1 GB + b 1.1 GB).
+    Numerics: the Gram product squares the condition number, so tail
+    conditionals carry ABSOLUTE error at the f32 matmul floor
+    (~eps * max fk) — the 'f32'/'mixed' tail class, not 'hi''s
+    eps/sqrt(rho); rows/brackets run the serve-CDF scheme and the
+    within-cell solve is the batched ds epilogue (_serve_solve_ds).
+    Measured (d=40 stress + lz40n33 14-level N/ESS): statistically
+    indistinguishable from 'hi' AND full f64.  Pinned by
+    tests/test_precision.py.
+
+    ON-CHIP VERDICT (v5e, lz40n33 production shape, round 4): 8.07
+    ms/dim vs the factor serveb's 5.41 — SLOWER despite ~35% less
+    nominal traffic, because XLA materializes the (Mb, r, r) outer
+    product with its r=23 trailing axis lane-padded to 128 (a ~5x
+    byte blowup), while the factor form's (Mb, n*r = 759) stays
+    ~lane-aligned.  Kept as the measured negative result that pins
+    why the factor form is the production path; 'gs' is a sound
+    (quality == 'hi') alternative on CPU."""
+    phi = carry                                            # (Mb, r) f32
+    pmat, cmat, x32, xlo, h32, qp32, um32 = inp
+    mb, r = phi.shape
+    g = jnp.reshape(phi[:, :, None] * phi[:, None, :], (mb, r * r))
+    fk = jnp.maximum(jnp.matmul(g, pmat, precision=_HI), 0.0)
+    out9, oh0, oh1, la, lb = _cdf_rows32(mode, n, fk, x32, xlo, h32,
+                                         qp32, um32)
+    w = la[:, None] * oh0 + lb[:, None] * oh1
+    b = jnp.reshape(jnp.matmul(w, cmat, precision=_HI), (mb, r, r))
+    phi = jnp.einsum("mi,mij->mj", phi, b, precision=_HI)
+    scale = jnp.maximum(jnp.max(jnp.abs(phi), axis=1, keepdims=True),
+                        jnp.asarray(1e-30, phi.dtype))
+    phi = phi / scale
+    return phi, out9
+
+
 def _step_factor_b(mode, n, packed, carry, inp):
     """_step_factor with the f64 epilogue REMOVED from the scan: one
     dimension's f32 row work emits the bracket scalars as a scan output
@@ -1107,7 +1144,7 @@ def _serve_solve_ds(mode, out9, qp):
         lah = (x2h - qh) / (x2h - x1h)
         lbh = 1.0 - lah
         dlf32 = jnp.log((f1 * lah + f2 * lbh) / tot)
-        return out, dlf32.astype(jnp.float64), lah, lbh
+        return out, dlf32, lah, lbh
     # inverse Rosenblatt: selector must equal the in-scan f32 choice
     right = qh > 0.5
     # t = target - bracket mass, both sides built from the near tail
@@ -1134,8 +1171,12 @@ def _serve_solve_ds(mode, out9, qp):
     nh, _nl = ds_sub(x2h, x2l, xkh, xkl)
     la32 = jnp.clip(nh / (x2h - x1h), 0.0, 1.0)
     lb32 = 1.0 - la32
+    # dlf stays f32: callers sum the (d, Mb) table in f32 (pairwise,
+    # ~1e-6 abs over d=40 terms) and promote the (Mb,) result only —
+    # the per-element f64 convert + emulated f64 reduce was part of
+    # the non-bandwidth serve tail.
     dlf32 = jnp.log((f1 * la32 + f2 * lb32) / tot)
-    return out, dlf32.astype(jnp.float64), la32, lb32
+    return out, dlf32, la32, lb32
 
 
 def _serve_solve(mode, out9, i0, qp):
@@ -1245,6 +1286,11 @@ _PRECISIONS = {
            _os.environ.get("TTIRT_HI_CDF", "serveb")),
     "hid": ("float32", "float64", "factor", "ds"),
     "ds": ("float32", "float64", "ds", "plain"),
+    # 'gs' = gram-serveb: one (Mb, r^2) @ (r^2, n) conditional matmul
+    # (no v materialization, ~2.3 GB/dim vs the factor form's ~3.5),
+    # serve-CDF rows, batched ds epilogue.  Tail class = gram
+    # ('f32'/'mixed'), NOT 'hi' — see _step_gram_b.
+    "gs": ("float32", "float64", "gramb", "serveb"),
 }
 # TTIRT_HI_CDF: 'serveb' (default — batched f64 epilogue after an
 # f32-only scan), 'serve' (per-dim f64 bracket scalars in-loop), or
@@ -1261,11 +1307,13 @@ def _use_fused(mode, precision) -> int:
     """Fused Pallas per-dim kernel level (0 = XLA path): applies to the
     f32-contraction sqr/rt paths (ops/pallas_step.py; Mosaic has no
     f64).  Level 2 (whole-dim CDF kernel) exists for the factor family
-    only; gram clamps to level 1."""
-    from ..ops.pallas_step import fused_level
+    only; gram clamps to level 1.  All Pallas/basis knobs resolve in
+    ONE place: ops/pallas_plan.kernel_plan (which also carries the
+    measured A/B table that keeps every kernel opt-in)."""
+    from ..ops.pallas_plan import kernel_plan
 
     cdt, _, fam, _cdfk = _PRECISIONS[precision]
-    lvl = fused_level()
+    lvl = kernel_plan().fused
     if not (lvl and cdt == "float32" and mode in ("sqr", "rt")
             and fam in ("gram", "factor")):
         return 0
@@ -1276,17 +1324,18 @@ def _ortho_applies(mode, precision, fused) -> bool:
     """The orthonormal-core serve path replaces the factor family
     exactly where the batched-epilogue ('serveb') branch runs; the
     merged Pallas dim kernel and the two-stream/fused variants keep
-    the raw-core factor operands.  TTIRT_ODIM_KERNEL=1 (the fused
-    post-vdot whole-dim kernel, ops/pallas_odim.py) implies this
-    path — that kernel exists only on the orthonormal basis."""
-    from ..ops.pallas_dim import dim_kernel_enabled
-    from ..ops.pallas_odim import odim_kernel_enabled
+    the raw-core factor operands.  The odim kernel (fused post-vdot
+    whole-dim kernel, ops/pallas_odim.py) implies this path — that
+    kernel exists only on the orthonormal basis.  Knob resolution:
+    ops/pallas_plan.kernel_plan."""
+    from ..ops.pallas_plan import kernel_plan
 
     _, _, fam, cdfk = _PRECISIONS[precision]
+    plan = kernel_plan()
     return (fam == "factor" and mode in ("sqr", "rt")
-            and (_hi_ortho() or odim_kernel_enabled())
+            and plan.ortho
             and cdfk == "serveb" and not fused and _STREAMS != 2
-            and _hi_pack() != 62 and not dim_kernel_enabled())
+            and _hi_pack() != 62 and not plan.dim_kernel)
 
 
 def _prep(mode, cstack, xstack, precision, stable, fused=False):
@@ -1294,6 +1343,19 @@ def _prep(mode, cstack, xstack, precision, stable, fused=False):
     over (everything except the per-block seeds)."""
     cdt, pdt, _, _cdfk = _PRECISIONS[precision]
     family = _family(mode, precision)
+    if family == "gramb":
+        # Gram semi-marginals prepared in f64, downcast to f32 for the
+        # single conditional matmul; cores unfolded like the factor
+        # serveb path (the prefix update is identical).
+        pstack, hstack = _prepare_scan(cstack.astype(jnp.float64),
+                                       xstack.astype(jnp.float64),
+                                       stable=stable)
+        d, r, n = cstack.shape[0], cstack.shape[1], cstack.shape[2]
+        pmat = jnp.reshape(pstack, (d, r * r, n)).astype(jnp.float32)
+        cmat = jnp.reshape(jnp.transpose(cstack.astype(jnp.float32),
+                                         (0, 2, 1, 3)), (d, n, r * r))
+        return (pmat, cmat, xstack.astype(jnp.float64),
+                hstack.astype(jnp.float64))
     if family == "gram":
         cs = cstack.astype(cdt)
         xs = xstack.astype(pdt)
@@ -1352,6 +1414,27 @@ def _fwd(mode, precision, prep, q, fused=False):
     cdt, pdt, _, cdfk = _PRECISIONS[precision]
     family = _family(mode, precision)
     mb = q.shape[0]
+    if family == "gramb":
+        pmat, cmat, xs, hs = prep
+        r = int(round(cmat.shape[2] ** 0.5))
+        n = cmat.shape[1]
+        x32s = xs.astype(jnp.float32)
+        xlos = (xs - x32s.astype(jnp.float64)).astype(jnp.float32)
+        h32s = hs.astype(jnp.float32)
+        q64 = q.astype(jnp.float64).T                     # (d, mb)
+        qp32 = q64.astype(jnp.float32)
+        um32 = (1.0 - q64).astype(jnp.float32)
+        phi0 = jnp.zeros((mb, r), jnp.float32).at[:, 0].set(1.0)
+        _, outs9 = jax.lax.scan(
+            partial(_step_gram_b, mode, n), phi0,
+            (pmat, cmat, x32s, xlos, h32s, qp32, um32))
+        dd = outs9.shape[0]
+        out, dlf, _, _ = _serve_solve(
+            mode, jnp.reshape(outs9, (dd * mb, 9)), None,
+            jnp.reshape(q64, (dd * mb,)))
+        lf = jnp.sum(jnp.reshape(dlf, (dd, mb)),
+                     axis=0).astype(jnp.float64)
+        return jnp.reshape(out, (dd, mb)).T, lf
     if family == "gram":
         if fused:
             pmat, cmat, xs, hs = prep
@@ -1417,7 +1500,8 @@ def _fwd(mode, precision, prep, q, fused=False):
         out, dlf, _, _ = _serve_solve(
             mode, jnp.reshape(outs9, (dd * mb, 9)), None,
             jnp.reshape(q64, (dd * mb,)))
-        lf = jnp.sum(jnp.reshape(dlf, (dd, mb)), axis=0)
+        lf = jnp.sum(jnp.reshape(dlf, (dd, mb)),
+                     axis=0).astype(jnp.float64)
         return jnp.reshape(out, (dd, mb)).T, lf
     if family == "factor":
         bmat, cmat, xs, hs = prep
@@ -1508,7 +1592,8 @@ def _fwd(mode, precision, prep, q, fused=False):
             out, dlf, _, _ = _serve_solve(
                 mode, jnp.reshape(outs9, (dd * mb, 9)), None,
                 jnp.reshape(q64, (dd * mb,)))
-            lf = jnp.sum(jnp.reshape(dlf, (dd, mb)), axis=0)
+            lf = jnp.sum(jnp.reshape(dlf, (dd, mb)),
+                     axis=0).astype(jnp.float64)
             return jnp.reshape(out, (dd, mb)).T, lf
         if cdfk == "serveb":
             cdfk = "serve"      # fused / two-stream paths keep the

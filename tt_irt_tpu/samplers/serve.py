@@ -198,7 +198,8 @@ class DirtSampler:
                 z, dlf = _level_irt(dirt, dirt.fs[j], z, self.precision)
             lfapp = lfapp + dlf
             if sigma is not None:
-                lfapp = lfapp - tnormal_logdensity_shift(z, sigma)
+                lfapp = lfapp - tnormal_logdensity_shift(
+                    z, sigma, reduced=self.precision != "f64")
         if sigma is not None:
             z = tnormal_to_uniform(z, sigma)
         if self._prep0 is not None:
