@@ -111,7 +111,47 @@ def main():
         except Exception as e:  # noqa: BLE001 — report, don't die
             rec["deep_serve_error"] = f"{type(e).__name__}: {e}"
 
+    # The other two tracked metrics of BASELINE.json ("amen_cross sweep
+    # time; ESS/sec for TT-MH") next to the IRT rate, so the driver
+    # record carries the full headline triple.
+    if os.environ.get("BENCH_AUX", "1") not in ("0", "false", "off"):
+        rec.update(_aux_metrics())
+
     print(json.dumps(rec))
+
+
+def _aux_main():
+    """Child-process entry for the two CPU-baseline tracked metrics."""
+    rec = {}
+    try:
+        rec.update(_cross_bench())
+    except Exception as e:  # noqa: BLE001 — report, don't die
+        rec["cross_error"] = f"{type(e).__name__}: {e}"
+    try:
+        rec.update(_ttmh_bench())
+    except Exception as e:  # noqa: BLE001 — report, don't die
+        rec["ttmh_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(rec))
+
+
+def _aux_metrics():
+    """Run the cross-sweep and TT-MH metrics in a fresh subprocess
+    pinned to the CPU backend.  Both reference figures are CPU figures
+    (amen_cross_s.m:74-82 author workstation; the MATLAB TT-MH driver),
+    the cross build is host-logic/QR bound rather than MXU bound, and a
+    separate process keeps this one's TPU client free for the headline
+    IRT + deep-serve timings (the axon backend allows one client at a
+    time and ignores in-process platform changes)."""
+    import subprocess
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--aux-only"],
+            env=env, capture_output=True, text=True, timeout=1800)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # noqa: BLE001 — report, don't die
+        return {"aux_error": f"{type(e).__name__}: {e}"}
 
 
 def _deep_serve_bench():
@@ -182,5 +222,119 @@ def _deep_serve_bench():
     return rec
 
 
+def _cross_bench():
+    """amen_cross_s sweep time at the reference's OWN headline
+    configuration (amen_cross_s.m:74-82): d=50, mode size 192,
+    f(i) = sqrt(1/sum(i^2)) over 1-based indices, tol 1e-4.  Reference
+    figures from that header (author CPU): amen_cross_s 3.38 s at
+    rel err 1.7e-4 (plain amen_cross: 4.59 s at 7.0e-4).  The error
+    reported here is the max relative deviation at 2^12 random test
+    indices against the exact function — stricter than the header's
+    aggregate figure."""
+    tol = float(os.environ.get("BENCH_CROSS_TOL", "1e-4"))
+    d, n = 50, 192
+
+    def fun(ind):
+        s = jnp.sum((jnp.asarray(ind, jnp.float64) + 1.0) ** 2, axis=1)
+        return jnp.sqrt(1.0 / s)
+
+    def build():
+        t0 = time.perf_counter()
+        res = ti.amen_cross_s([n] * d, fun, tol, kickrank=4, seed=0)
+        jax.block_until_ready(res.tt.cores[-1])
+        return res, time.perf_counter() - t0
+
+    # Cold includes one jit compile per distinct block shape (ranks
+    # grow sweep over sweep); the warm rebuild traces the identical
+    # shape sequence from cache and is the apples-to-apples number
+    # against the interpreted MATLAB run.
+    res, cold = build()
+    _, warm = build()
+
+    from tt_irt_tpu.ops.tt import tt_eval_indices
+    rng = np.random.default_rng(5)
+    idx = jnp.asarray(rng.integers(0, n, size=(4096, d)))
+    approx = tt_eval_indices(res.tt, idx)
+    exact = fun(idx)
+    rel = jnp.abs(approx - exact) / jnp.abs(exact)
+    ref_time = 3.38
+    return {
+        "cross_sweep_time_s": warm,
+        "cross_cold_time_s": cold,
+        "cross_err_rel_rms": float(jnp.sqrt(jnp.mean(rel ** 2))),
+        "cross_err_rel_max": float(jnp.max(rel)),
+        "cross_evals": int(res.evalcnt[0]),
+        "cross_rank_max": int(max(res.tt.ranks)),
+        "cross_ref_time_s": ref_time,
+        "cross_speedup_vs_ref": ref_time / warm,
+        "cross_config": (f"d=50, n=192, sqrt(1/sum(i^2)), tol={tol} "
+                         "(amen_cross_s.m:74-82)"),
+    }
+
+
+def _ttmh_bench():
+    """ESS/sec for TT-MH on the shock-absorber configuration (the third
+    BASELINE.json tracked metric; reference driver
+    test_shock_absorber_tt.m:121-142 with parse_shock_inputs.m
+    defaults d=6, n=17, delta=0.05, N=2^14).  Pipeline: amen_cross_s
+    on the posterior density (v1) -> tt_irt_lin proposal -> exact-
+    density MH prune (mcmc_prune).  ESS = M / IACT with IACT in the
+    UWerr 2*tau_int convention averaged over coordinates
+    (statsiact.m:3-6); the rate divides by the best sampling wall time
+    (IRT inversion + exact density + MH — the reference's
+    time_invcdf/time_eval split, tt_irt_debias.m:22,49).  Cross build
+    time is reported separately (the reference also reports the two
+    phases apart)."""
+    from tt_irt_tpu.models import shock_absorber as sa
+
+    cfg = sa.ShockConfig(d=6, n=17, x=sa.paper_covariates())
+    lpifun = cfg.log_posterior_fn()
+    grids = cfg.grids()
+    gmat = jnp.stack([jnp.asarray(g) for g in grids], axis=1)
+
+    def cross_fun(ind):
+        theta = jnp.take_along_axis(gmat, jnp.asarray(ind), axis=0)
+        return jnp.exp(lpifun(theta))
+
+    log2m = int(os.environ.get("BENCH_TTMH_LOG2M", 14))
+    m = 1 << log2m
+    t0 = time.perf_counter()
+    res = ti.amen_cross_s([cfg.n] * (cfg.d + 2), cross_fun, 0.0,
+                          tol_exit=0.05, y0=8, kickrank=2, seed=0)
+    jax.block_until_ready(res.tt.cores[-1])
+    t_build = time.perf_counter() - t0
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(100))
+    z = jax.random.uniform(k1, (m, cfg.d + 2), dtype=jnp.float64)
+
+    def sample_once():
+        y, lfapp = ti.tt_irt_lin(grids, res.tt, z)
+        lfex = lpifun(y)
+        mh = ti.mcmc_prune(y, lfex, lfapp, key=k2)
+        jax.block_until_ready(mh.y)
+        return mh
+
+    mh = sample_once()  # warm-up / compile
+    best = float("inf")
+    for _ in range(int(os.environ.get("BENCH_REPS", 3))):
+        t0 = time.perf_counter()
+        mh = sample_once()
+        best = min(best, time.perf_counter() - t0)
+    tau = float(np.mean(ti.iact(np.asarray(mh.y))))
+    ess = m / max(tau, 1.0)
+    return {
+        "ttmh_ess_per_sec": ess / best,
+        "ttmh_sample_time_s": best,
+        "ttmh_iact": tau,
+        "ttmh_rejection_rate": float(mh.num_rejects) / m,
+        "ttmh_cross_build_s": t_build,
+        "ttmh_config": (f"shock absorber d=6, n=17, M=2^{log2m} "
+                        "(test_shock_absorber_tt.m defaults)"),
+    }
+
+
 if __name__ == "__main__":
-    main()
+    if "--aux-only" in sys.argv:
+        _aux_main()
+    else:
+        main()
