@@ -394,3 +394,30 @@ def test_cross_complex_elementwise_mode():
     full = np.asarray(tt_full(res.tt))
     assert np.iscomplexobj(full)
     assert np.max(np.abs(full - ref)) < 1e-6
+
+
+def test_merge_full_matches_tile_repeat_oracle():
+    """_merge_full's single-pass broadcast writes must reproduce the
+    original tile/repeat little-endian enumeration bit-exactly (the
+    row order IS the little-endian index merge of amen_cross_s.m:
+    763-786; a silent transposition would still interpolate — just a
+    different tensor)."""
+    from tt_irt_tpu.constructors.amen_cross import _merge_full
+
+    rng = np.random.default_rng(0)
+    for rl, n, rr, kl, kr in [(3, 5, 2, 2, 4), (1, 4, 6, 0, 3),
+                              (5, 7, 1, 2, 0), (1, 3, 1, 0, 0),
+                              (4, 2, 4, 1, 1)]:
+        jl = (rng.integers(0, 9, (rl, kl)) if kl
+              else np.zeros((rl, 0), np.int64))
+        jr = (rng.integers(0, 9, (rr, kr)) if kr
+              else np.zeros((rr, 0), np.int64))
+        out = _merge_full(jl, n, jr)
+        ref = np.empty((rl * n * rr, kl + 1 + kr), np.int64)
+        if kl:
+            ref[:, :kl] = np.tile(jl, (n * rr, 1))
+        ref[:, kl] = np.tile(np.repeat(np.arange(n, dtype=np.int64),
+                                       rl), rr)
+        if kr:
+            ref[:, kl + 1:] = np.repeat(jr, rl * n, axis=0)
+        np.testing.assert_array_equal(out, ref)
