@@ -217,3 +217,50 @@ def test_rt_reduced_precision_parity():
     qm, lm = ti.tt_rt_sqr(grids, tt, x, precision="mixed")
     assert float(jnp.max(jnp.abs(qm - qr_))) < 1e-6
     assert float(jnp.max(jnp.abs(lm - lr))) < 1e-4
+
+
+def test_ds_log32_matches_f64_log():
+    """ds_log32 (exact frexp split + ds atanh series, pure f32 ops) must
+    sit in the f64-log accuracy class across the full normal f32 range —
+    it is the default serve log-density epilogue (TTIRT_SERVE_DLF=ds),
+    replacing the emulated-f64 log of the r04 hotfix (67a57d4)."""
+    from tt_irt_tpu.ops.doublesingle import ds_log32, ds_to_f64
+
+    rngl = np.random.default_rng(42)
+    x = np.concatenate([
+        10.0 ** rngl.uniform(-37, 37, 20000),
+        1.0 + rngl.uniform(-1e-3, 1e-3, 5000),
+        [1.0, 2.0, 0.5, float(np.float32(np.e)), 3.4e38, 1.2e-38],
+    ]).astype(np.float32)
+    got = np.asarray(ds_to_f64(*jax.jit(ds_log32)(x)))
+    ref = np.log(x.astype(np.float64))
+    rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-30)
+    assert rel.max() < 1e-12
+    # near x=1 the log is tiny; absolute error must stay at the ds floor
+    near1 = np.abs(x - 1.0) < 2e-3
+    assert np.abs(got - ref)[near1].max() < 1e-15
+    # log edge semantics (zero-or-subnormal -> -inf: XLA FTZ semantics)
+    h, _ = ds_log32(jnp.float32(0.0))
+    assert np.isneginf(float(h))
+    h, _ = ds_log32(jnp.float32(1e-44))
+    assert np.isneginf(float(h))
+    h, _ = ds_log32(jnp.float32(-1.0))
+    assert np.isnan(float(h))
+    h, _ = ds_log32(jnp.float32(np.inf))
+    assert np.isposinf(float(h))
+
+
+def test_serve_dlf_default_is_ds_and_matches_f64():
+    """The serve epilogue's default per-dim log-density path must be the
+    ds log and agree with the emulated-f64 log to ~1e-12 — the band the
+    on-chip r04 regression (f32 log, dl ~5.9e-4) failed by 6x."""
+    from tt_irt_tpu.samplers import irt_scan
+
+    assert irt_scan._SERVE_DLF == "ds"
+    rngl = np.random.default_rng(7)
+    num = jnp.asarray(rngl.uniform(1e-6, 1e3, 4096).astype(np.float32))
+    tot = jnp.asarray(rngl.uniform(1e-3, 1e4, 4096).astype(np.float32))
+    got = np.asarray(irt_scan._dlf_log(num, tot))
+    ref = np.log(np.asarray(num, np.float64) / np.asarray(tot, np.float64))
+    # the f32 ratio rounding itself costs ~6e-8 relative on the ratio
+    assert np.abs(got - ref).max() < 1e-6

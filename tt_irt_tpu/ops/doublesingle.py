@@ -19,12 +19,13 @@ it exists to meet the reference's 1e-6 sample-parity bar at TPU speed
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "two_sum", "fast_two_sum", "two_prod", "ds_add", "ds_mul",
     "ds_sub", "ds_div", "ds_sqrt",
     "ds_from_f64", "ds_to_f64", "ds_sum_pairwise", "ds_scale_exact",
-    "ds_cumsum",
+    "ds_cumsum", "ds_log32",
 ]
 
 # Dekker splitting constant for f32 (24-bit significand): 2^12 + 1
@@ -152,3 +153,78 @@ def ds_scale_exact(h, l, denom):
     exact in both components, so renormalization injects no error."""
     s = jnp.exp2(jnp.floor(jnp.log2(denom)))
     return h / s, l / s
+
+
+# ln 2 as an f32 double-single constant (hi + lo == ln2 to ~2^-48).
+_LN2_HI = float(np.float32(np.log(2.0)))
+_LN2_LO = float(np.float32(np.log(2.0) - np.float64(np.float32(np.log(2.0)))))
+
+# atanh-series coefficients 1/(2k+1), k = 0..9, each as an (hi, lo)
+# f32 pair so the Horner recurrence keeps full ds precision.  With the
+# argument reduced to m in [sqrt(1/2), sqrt(2)), s = (m-1)/(m+1) obeys
+# |s| <= 0.1716, s^2 <= 0.02944, so the truncated tail is
+# s^20/21 ~ 2.4e-16 relative — below the ds floor.
+_ATANH_COEF = [
+    (float(np.float32(c)), float(np.float32(c - np.float64(np.float32(c)))))
+    for c in (1.0 / (2 * k + 1) for k in range(10))
+]
+
+
+def ds_log32(x):
+    """Natural log of a positive f32 array as a double-single pair —
+    accurate to ~1e-14 relative with NO f64 (and no approximate f32
+    transcendental) ops, so it lowers to pure VPU f32 work on TPU.
+
+    Motivation: XLA:TPU lowers f32 ``log`` to a polynomial with ~1.5e-5
+    absolute error at O(1) magnitudes (measured: the r04 on-chip suite
+    failures, BENCH_NOTES "the on-chip suite caught a real serve
+    regression"), while emulated-f64 ``log`` is correct but costs a
+    long emulated chain.  This routine gets f64-class accuracy from
+    f32 hardware ops only:
+
+      x = m * 2^e  (exact exponent/mantissa split, jnp.frexp)
+      m centered into [sqrt(1/2), sqrt(2)); s = (m-1)/(m+1) in ds
+      (m-1 exact by Sterbenz, m+1 exact by TwoSum, ds division)
+      log m = 2 atanh(s) = 2s (1 + s^2/3 + ... + s^18/19)  [ds Horner]
+      log x = e*ln2 + log m                                 [ds]
+
+    Non-positive / non-finite inputs follow ``log`` semantics
+    (0 -> -inf, negative -> nan, inf -> inf).  Zero-or-subnormal inputs
+    return -inf: XLA backends flush subnormals in arithmetic AND in
+    comparisons (DAZ) and ``jnp.frexp`` mis-splits them, so the only
+    deterministic cross-backend semantics is the FTZ one; detection is
+    via an exact bitcast of the exponent field."""
+    from jax import lax
+
+    x = jnp.asarray(x, jnp.float32)
+    bits = lax.bitcast_convert_type(x, jnp.int32)
+    ftz = ((bits >> 23) & 0xFF) == 0       # +-0 and subnormals
+    m, e = jnp.frexp(x)
+    e = e.astype(jnp.float32)
+    small = m < jnp.float32(0.7071067811865476)
+    m = jnp.where(small, m * 2.0, m)
+    e = jnp.where(small, e - 1.0, e)
+    zero = jnp.zeros_like(m)
+    # s = (m - 1) / (m + 1) in ds; m - 1 is exact for m in [0.5, 2)
+    dh, dl = two_sum(m, jnp.ones_like(m))
+    sh, sl = ds_div(m - 1.0, zero, dh, dl)
+    zh, zl = ds_mul(sh, sl, sh, sl)            # s^2
+    ph = jnp.full_like(m, _ATANH_COEF[-1][0])
+    pl = jnp.full_like(m, _ATANH_COEF[-1][1])
+    for ch, cl in _ATANH_COEF[-2::-1]:
+        ph, pl = ds_mul(ph, pl, zh, zl)
+        ph, pl = ds_add(ph, pl, jnp.full_like(m, ch), jnp.full_like(m, cl))
+    lmh, lml = ds_mul(2.0 * sh, 2.0 * sl, ph, pl)   # 2s * poly (2s exact)
+    eh, el = ds_mul(e, zero, jnp.full_like(m, _LN2_HI),
+                    jnp.full_like(m, _LN2_LO))
+    h, l = ds_add(eh, el, lmh, lml)
+    # log semantics at the edges.  Zero is detected via the frexp
+    # mantissa, NOT `x == 0`: comparisons are DAZ on XLA backends, so a
+    # subnormal x would compare equal to zero while frexp still splits
+    # it exactly.
+    neg_inf = jnp.float32(-np.inf)
+    h = jnp.where(m < 0.0, jnp.float32(np.nan), h)  # sign rides on m
+    h = jnp.where(ftz, neg_inf, h)                  # zero / subnormal
+    h = jnp.where(jnp.isinf(x) & (x > 0), jnp.float32(np.inf), h)
+    l = jnp.where(jnp.isfinite(h), l, zero)
+    return h, l

@@ -1051,24 +1051,32 @@ def _step_factor_fused(mode, n, carry, inp):
 # attribution); the ds version is pure VPU f32 (VERDICT r03 task 2a).
 _SERVE_EPI_ENV = _os.environ.get("TTIRT_SERVE_EPI", "ds")
 
-# Per-dim log-density dtype of the ds epilogue.  The interpolated-
+# Per-dim log-density precision of the ds epilogue.  The interpolated-
 # density RATIO is f32-exact to ~1e-7 relative either way; the LOG is
 # the accuracy-limiting op: XLA:TPU lowers f32 log to an approximate
 # polynomial, and the on-chip r04 suite measured the all-f32 tail at
 # dl ~5.9e-4 on the d=40 stress map (~1.5e-5 abs/term) — 6x past the
 # 1e-4 'hi' band that the same tests met at r03 with the f64 log
 # (TPU_SUITE_r04.json: the 4 failures are all this clause; CPU's
-# correctly-rounded f32 log passes the band).  Default restores the
-# f64 log of the f32 ratio; TTIRT_SERVE_DLF=f32 re-enables the all-f32
-# tail for workloads that only consume samples.
-_SERVE_DLF = _os.environ.get("TTIRT_SERVE_DLF", "f64")
+# correctly-rounded f32 log passes the band).  Default 'ds' takes the
+# log in double-single f32 (ops/doublesingle.ds_log32: exact frexp
+# split + ds atanh series, ~2e-14 relative) — same accuracy class as
+# the emulated-f64 log with none of its emulated transcendental chain.
+# TTIRT_SERVE_DLF=f64 selects the emulated-f64 log (the r04 hotfix
+# path, 67a57d4); =f32 re-enables the all-f32 tail for workloads that
+# only consume samples.
+_SERVE_DLF = _os.environ.get("TTIRT_SERVE_DLF", "ds")
 
 
 def _dlf_log(num32, tot32):
     ratio = num32 / tot32
     if _SERVE_DLF == "f32":
         return jnp.log(ratio)
-    return jnp.log(ratio.astype(jnp.float64))
+    if _SERVE_DLF == "f64":
+        return jnp.log(ratio.astype(jnp.float64))
+    from ..ops.doublesingle import ds_log32, ds_to_f64
+
+    return ds_to_f64(*ds_log32(ratio))
 
 
 def _ds_lex_lt(ah, al, bh, bl):
