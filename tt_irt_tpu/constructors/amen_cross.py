@@ -26,7 +26,9 @@ forward-sweep implementation serves both directions.
 
 from __future__ import annotations
 
+import contextlib
 import math
+import time as _time
 from typing import NamedTuple, Sequence
 
 import numpy as np
@@ -35,6 +37,36 @@ from ..ops.maxvol import localcross, maxvol
 from ..ops.tt import TT
 
 __all__ = ["amen_cross_s", "CrossResult"]
+
+
+class _Prof:
+    """Stage-time accumulator for the sweep (enabled by ``profile=``).
+
+    Stages are *disjoint* code regions, so sum(stages) ~ wall time minus
+    untimed glue; ``benchmarks/attrib_cross.py`` enforces the
+    stage-sum==total discipline on the d=50 header benchmark."""
+
+    __slots__ = ("store",)
+
+    def __init__(self, store: dict):
+        self.store = store
+
+    @contextlib.contextmanager
+    def __call__(self, key: str):
+        t0 = _time.perf_counter()
+        try:
+            yield
+        finally:
+            self.store[key] = (self.store.get(key, 0.0)
+                               + _time.perf_counter() - t0)
+
+
+class _NullProf:
+    __slots__ = ()
+    _null = contextlib.nullcontext()
+
+    def __call__(self, key: str):
+        return self._null
 
 
 def _as_values(out) -> np.ndarray:
@@ -202,7 +234,8 @@ def _rev_mats(lm, rm):
 def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
                  verb=0, vec=True, tol_exit=None, exitdir=0, dir=1,
                  auxinp=None, auxfun=None, stats=(), seed=0,
-                 rmax=None, mesh=None) -> CrossResult:
+                 rmax=None, mesh=None, jit_fun="auto",
+                 profile=None) -> CrossResult:
     """Block TT-cross with AMEn residual enrichment and maxvol pivoting.
 
     Args:
@@ -225,9 +258,20 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
         the mesh (the data-parallel construction evaluation of SURVEY
         §2.6; reference hot path amen_cross_s.m:704-760).  Requires a
         jittable (JAX-traceable) ``fun``; implies ``vec=True``.
+      jit_fun: 'auto' (default) jit-compiles ``fun`` for the probe
+        batches once the first (eager) call is seen to return a
+        ``jax.Array`` — a JAX fun evaluated eagerly pays one dispatch
+        per op per batch, which dominated the d=50 header benchmark
+        (60% of the build); host/numpy funs are never wrapped, and a
+        jax-returning fun that fails to trace falls back to eager.
+        True forces the wrap from the first call; False disables it.
+      profile: optional dict — filled with disjoint per-stage wall
+        times ('eval_fun', 'eval_merge', 'qrmaxvol', 'truncate', ...;
+        see benchmarks/attrib_cross.py).
 
     Returns CrossResult(tt, statvals, statind, indices, evalcnt).
     """
+    prof = _Prof(profile) if profile is not None else _NullProf()
     rng = np.random.default_rng(seed)
     tol_exit = tol if tol_exit is None else tol_exit
 
@@ -297,6 +341,43 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
 
     evalcnt = [0, 0]
 
+    # Per-fun auto-jit state: None = undecided (first call pending),
+    # a callable = the wrapper to use, False = stay eager.
+    _jit_state: dict = {}
+
+    def _dispatch(f, arr):
+        """Evaluate one probe batch, jit-wrapping device funs (jit_fun).
+
+        The decision is made from observed behaviour, not inspection:
+        the first call runs eagerly; if it returned a ``jax.Array`` the
+        fun is a JAX computation and every later batch goes through one
+        ``jax.jit`` dispatch (fused, one transfer each way) instead of
+        one dispatch *per op*.  Host funs (numpy-returning) and funs
+        that fail to trace keep the eager path forever."""
+        st = _jit_state.get(id(f), None)
+        if st is None:
+            out = f(arr)
+            if jit_fun and mesh is None:
+                import jax
+                want = jit_fun is True or isinstance(out, jax.Array)
+                _jit_state[id(f)] = ["try", jax.jit(f)] if want else False
+            else:
+                _jit_state[id(f)] = False
+            return out
+        if not st:
+            return f(arr)
+        if st[0] == "try":
+            # first jitted call: a jax-returning fun can still fail to
+            # trace (python control flow on values) — fall back forever
+            try:
+                out = st[1](arr)
+                st[0] = "ok"
+                return out
+            except Exception:  # noqa: BLE001 — any trace failure
+                _jit_state[id(f)] = False
+                return f(arr)
+        return st[1](arr)
+
     def _padded_call(f, arr, m):
         """Call ``f`` on ``arr`` padded (by repeating row 0) to the next
         power of two.  Accelerator-backed functions compile per input
@@ -305,11 +386,11 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
         (the reference never hits this: MATLAB is shape-dynamic)."""
         mpad = 1 << max(5, (m - 1).bit_length())
         if mpad == m:
-            return _as_values(f(arr)).reshape(m, -1)
+            return _as_values(_dispatch(f, arr)).reshape(m, -1)
         full = np.empty((mpad,) + arr.shape[1:], dtype=arr.dtype)
         full[:m] = arr
         full[m:] = arr[0]
-        out = _as_values(f(full))
+        out = _as_values(_dispatch(f, full))
         return out.reshape(mpad, -1)[:m]
 
     def evaluate(jl, jr, yx_l, yx_r, i):
@@ -320,13 +401,17 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
             (1 if jr is None or not jr.size else jr.shape[0])
         vals = None
         if ifun is not None:
-            j_virtual = _merge_full(jl, n[i], jr)
-            j_actual = j_virtual[:, ::-1] if orient < 0 else j_virtual
-            vals = _padded_call(ifun, j_actual, m)
+            with prof("eval_merge"):
+                j_virtual = _merge_full(jl, n[i], jr)
+                j_actual = j_virtual[:, ::-1] if orient < 0 else j_virtual
+            with prof("eval_fun"):
+                vals = _padded_call(ifun, j_actual, m)
             evalcnt[0] += m
         if ffun is not None:
-            fx = _eval_x_at(yx_l[i], yx_r[i + 1], xcur_i(i))
-            fv = _padded_call(ffun, fx, m)
+            with prof("eval_merge"):
+                fx = _eval_x_at(yx_l[i], yx_r[i + 1], xcur_i(i))
+            with prof("eval_fun"):
+                fv = _padded_call(ffun, fx, m)
             evalcnt[1] += m
             vals = fv if vals is None else vals + fv
         return vals
@@ -508,17 +593,19 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
                             statvals[si, col] = cry[pick, col]
                             statind[si, :, col] = j_actual[pick]
 
-            old = ycores[i]
-            if old is not None and old.size == m * b:
-                denom = np.max(np.abs(cry))
-                dx = np.max(np.abs(cry.ravel(order="F")
-                                   - old.ravel(order="F"))) \
-                    / (denom if denom > 0 else 1.0)
-            else:
-                dx = 1.0
-            max_dx = max(max_dx, dx)
-            core = np.reshape(cry, (ry[i], n[i], ry[i + 1], b), order="F")
-            ycores[i] = core
+            with prof("dx"):
+                old = ycores[i]
+                if old is not None and old.size == m * b:
+                    denom = np.max(np.abs(cry))
+                    dx = np.max(np.abs(cry.ravel(order="F")
+                                       - old.ravel(order="F"))) \
+                        / (denom if denom > 0 else 1.0)
+                else:
+                    dx = 1.0
+                max_dx = max(max_dx, dx)
+                core = np.reshape(cry, (ry[i], n[i], ry[i + 1], b),
+                                  order="F")
+                ycores[i] = core
 
             if i == d - 1:
                 break
@@ -526,89 +613,102 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
             # --- truncation of the current block ---
             # unfold (r1*n, r2*b): the block axis joins the bond being
             # truncated, exactly as truncate_block (amen_cross_s.m:588-611)
-            mat = np.reshape(core, (ry[i] * n[i], ry[i + 1] * b),
-                             order="F")
-            if tol_local > 0:
-                u, v = localcross(mat, tol_local, rmax=rmax)
-            else:
-                u, v = np.linalg.qr(mat)
-            if rmax is not None and u.shape[1] > rmax:
-                u, v = u[:, :rmax], v[:rmax]
-            y_trunc = np.reshape(u @ v, (ry[i], n[i], ry[i + 1], b),
+            with prof("truncate"):
+                mat = np.reshape(core, (ry[i] * n[i], ry[i + 1] * b),
                                  order="F")
+                if tol_local > 0:
+                    u, v = localcross(mat, tol_local, rmax=rmax)
+                else:
+                    u, v = np.linalg.qr(mat)
+                if rmax is not None and u.shape[1] > rmax:
+                    u, v = u[:, :rmax], v[:rmax]
+                y_trunc = np.reshape(u @ v, (ry[i], n[i], ry[i + 1], b),
+                                     order="F")
 
             # --- AMEn enrichment ---
             crs = None
             if use_kick:
                 # candidate: truncated solution projected on right residual
                 rzr = jz_r[i + 1].shape[0]
-                crs_full = np.einsum("ancb,cz->anzb", y_trunc, zy_r[i + 1])
+                with prof("enrich"):
+                    crs_full = np.einsum("ancb,cz->anzb", y_trunc,
+                                         zy_r[i + 1])
                 crzex = evaluate(jy_l[i], jz_r[i + 1], yx_l, zx_r, i)
-                crzex = np.reshape(crzex, (ry[i], n[i], rzr, b), order="F")
-                crs = np.reshape(crzex - crs_full,
-                                 (ry[i] * n[i], rzr * b), order="F")
-                crs = _truncres(crs, _kick_rank(ry[i + 1]), tol_local,
-                                rng, expand=False)
+                with prof("enrich"):
+                    crzex = np.reshape(crzex, (ry[i], n[i], rzr, b),
+                                       order="F")
+                    crs = np.reshape(crzex - crs_full,
+                                     (ry[i] * n[i], rzr * b), order="F")
+                    crs = _truncres(crs, _kick_rank(ry[i + 1]), tol_local,
+                                    rng, expand=False)
 
             # --- enrich, QR, maxvol, interface update ---
-            cat = u if crs is None else np.concatenate([u, crs], axis=1)
-            q, rq = np.linalg.qr(cat)
-            rv = rq[:, :u.shape[1]] @ v                   # (rnew, r2*b)
-            ind = maxvol(q)
-            yy = q[ind]
-            try:
-                qn = np.linalg.solve(yy.T, q.T).T         # q @ inv(yy)
-            except np.linalg.LinAlgError:
-                # degenerate block (e.g. the function underflowed to 0
-                # on this probe set): least-squares interpolation keeps
-                # the sweep alive (cf. the reference's zero-residual
-                # reinit, amen_cross_s.m:890-894)
-                qn = q @ np.linalg.pinv(yy)
-            rnew = q.shape[1]
-            ycores[i] = _fold_left(qn, ry[i], n[i])[..., None]
-            rv = yy @ rv                                  # (rnew, r2*b)
+            with prof("qrmaxvol"):
+                cat = u if crs is None else np.concatenate([u, crs], axis=1)
+                q, rq = np.linalg.qr(cat)
+                rv = rq[:, :u.shape[1]] @ v               # (rnew, r2*b)
+                ind = maxvol(q)
+                yy = q[ind]
+                try:
+                    qn = np.linalg.solve(yy.T, q.T).T     # q @ inv(yy)
+                except np.linalg.LinAlgError:
+                    # degenerate block (e.g. the function underflowed to 0
+                    # on this probe set): least-squares interpolation keeps
+                    # the sweep alive (cf. the reference's zero-residual
+                    # reinit, amen_cross_s.m:890-894)
+                    qn = q @ np.linalg.pinv(yy)
+                rnew = q.shape[1]
+                ycores[i] = _fold_left(qn, ry[i], n[i])[..., None]
+                rv = yy @ rv                              # (rnew, r2*b)
             r2_old = ry[i + 1]
             ry[i + 1] = rnew
             # push non-orth factor into the next (stale) core if it
             # exists, transporting the block axis with it
             # (amen_cross_s.m:598-611: rv (rnew, r2*b) -> (b*rnew, r2))
-            if ycores[i + 1] is not None:
-                rvb = np.reshape(rv, (rnew * r2_old, b), order="F")
-                rvb = np.reshape(rvb.T, (b * rnew, r2_old), order="F")
-                nxt = ycores[i + 1]                       # (r2, n2, r3, bn)
-                n2, r3 = nxt.shape[1], nxt.shape[2]
-                nxt2 = np.reshape(nxt[..., 0], (r2_old, n2 * r3), order="F")
-                t = rvb @ nxt2                            # (b*rnew, n2*r3)
-                t = np.reshape(t, (b, rnew * n2 * r3), order="F")
-                ycores[i + 1] = np.reshape(t.T, (rnew, n2, r3, b),
-                                           order="F")
-            jy_l[i + 1] = _merge_full(jy_l[i], n[i],
-                                      np.zeros((1, 0), np.int64))[ind]
-            if xcur is not None:
-                yx_l[i + 1] = _interface_nested_left(yx_l[i], xcur_i(i), ind)
+            with prof("push"):
+                if ycores[i + 1] is not None:
+                    rvb = np.reshape(rv, (rnew * r2_old, b), order="F")
+                    rvb = np.reshape(rvb.T, (b * rnew, r2_old), order="F")
+                    nxt = ycores[i + 1]                   # (r2, n2, r3, bn)
+                    n2, r3 = nxt.shape[1], nxt.shape[2]
+                    nxt2 = np.reshape(nxt[..., 0], (r2_old, n2 * r3),
+                                      order="F")
+                    t = rvb @ nxt2                        # (b*rnew, n2*r3)
+                    t = np.reshape(t, (b, rnew * n2 * r3), order="F")
+                    ycores[i + 1] = np.reshape(t.T, (rnew, n2, r3, b),
+                                               order="F")
+            with prof("index"):
+                jy_l[i + 1] = _merge_full(jy_l[i], n[i],
+                                          np.zeros((1, 0), np.int64))[ind]
+                if xcur is not None:
+                    yx_l[i + 1] = _interface_nested_left(
+                        yx_l[i], xcur_i(i), ind)
 
             # --- residual update ---
             if use_kick:
                 rzl = jz_l[i].shape[0]
                 rzr = jz_r[i + 1].shape[0]
                 crzz = evaluate(jz_l[i], jz_r[i + 1], zx_l, zx_r, i)
-                crzz = np.reshape(crzz, (rzl, n[i], rzr, b), order="F")
-                proj = np.einsum("za,ancb,cw->znwb", zy_l[i], y_trunc,
-                                 zy_r[i + 1])
-                crz = np.reshape(crzz - proj,
-                                 (rzl * n[i], rzr * b), order="F")
-                crz = _truncres(crz, _kick_rank(ry[i + 1]), tol_local,
-                                rng, expand=True)
-                indz = maxvol(crz)
-                rz[i + 1] = len(indz)
-                jz_l[i + 1] = _merge_full(jz_l[i], n[i],
-                                          np.zeros((1, 0), np.int64))[indz]
-                if xcur is not None:
-                    zx_l[i + 1] = _interface_nested_left(
-                        zx_l[i], xcur_i(i), indz)
-                tzy = np.einsum("za,anb->znb", zy_l[i], ycores[i][..., 0])
-                tzy = np.reshape(tzy, (rz[i] * n[i], rnew), order="F")
-                zy_l[i + 1] = tzy[indz]
+                with prof("zupdate"):
+                    crzz = np.reshape(crzz, (rzl, n[i], rzr, b), order="F")
+                    proj = np.einsum("za,ancb,cw->znwb", zy_l[i], y_trunc,
+                                     zy_r[i + 1])
+                    crz = np.reshape(crzz - proj,
+                                     (rzl * n[i], rzr * b), order="F")
+                    crz = _truncres(crz, _kick_rank(ry[i + 1]), tol_local,
+                                    rng, expand=True)
+                    indz = maxvol(crz)
+                    rz[i + 1] = len(indz)
+                    jz_l[i + 1] = _merge_full(jz_l[i], n[i],
+                                              np.zeros((1, 0),
+                                                       np.int64))[indz]
+                    if xcur is not None:
+                        zx_l[i + 1] = _interface_nested_left(
+                            zx_l[i], xcur_i(i), indz)
+                    tzy = np.einsum("za,anb->znb", zy_l[i],
+                                    ycores[i][..., 0])
+                    tzy = np.reshape(tzy, (rz[i] * n[i], rnew), order="F")
+                    zy_l[i + 1] = tzy[indz]
 
         if verb > 0:
             print(f"=amen_cross= swp={swp} (orient {orient:+d}), "
@@ -622,14 +722,15 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
             break
 
         # reverse everything for the next sweep
-        ycores = _rev_cores(ycores)
-        if xcur is not None:
-            xcur = [_rev_cores(t) for t in xcur]
-        jy_l, jy_r = _rev_sets(jy_l, jy_r)
-        jz_l, jz_r = _rev_sets(jz_l, jz_r)
-        yx_l, yx_r = _rev_interfaces(yx_l, yx_r)
-        zx_l, zx_r = _rev_interfaces(zx_l, zx_r)
-        zy_l, zy_r = _rev_mats(zy_l, zy_r)
+        with prof("reverse"):
+            ycores = _rev_cores(ycores)
+            if xcur is not None:
+                xcur = [_rev_cores(t) for t in xcur]
+            jy_l, jy_r = _rev_sets(jy_l, jy_r)
+            jz_l, jz_r = _rev_sets(jz_l, jz_r)
+            yx_l, yx_r = _rev_interfaces(yx_l, yx_r)
+            zx_l, zx_r = _rev_interfaces(zx_l, zx_r)
+            zy_l, zy_r = _rev_mats(zy_l, zy_r)
         ry = ry[::-1]
         rz = rz[::-1]
         n = n[::-1]
