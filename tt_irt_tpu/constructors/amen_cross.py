@@ -33,7 +33,7 @@ from typing import NamedTuple, Sequence
 
 import numpy as np
 
-from ..ops.maxvol import localcross, maxvol
+from ..ops.maxvol import localcross, maxvol, trunc_svd
 from ..ops.tt import TT
 
 __all__ = ["amen_cross_s", "CrossResult"]
@@ -104,25 +104,41 @@ def _fold_left(mat, r1, n):
     return np.reshape(mat, (r1, n, -1), order="F")
 
 
-def _merge_full(jl, n, jr):
+def _merge_full(jl, n, jr, pad_to=None, reverse=False):
     """Row-major enumeration of (left, mode, right) with left fastest:
-    row = a + rl*(im + n*c).  Returns (rl*n*rr, d) actual index rows."""
+    row = a + rl*(im + n*c).  Returns (rl*n*rr, d) actual index rows.
+
+    ``pad_to``: allocate that many rows and fill rows m.. by repeating
+    row 0 (the shape-bucketing pad for jitted funs — writing it here
+    saves a full extra copy of every probe batch).  ``reverse`` writes
+    the columns in reversed order (backward-sweep actual orientation)
+    in the same single pass instead of a strided flip afterwards.
+    Index dtype is int32: mode sizes are far below 2^31 and the probe
+    batches are transfer-bound on their way to the device."""
     rl = jl.shape[0] if jl is not None and jl.size else 1
     rr = jr.shape[0] if jr is not None and jr.size else 1
     kl = 0 if jl is None else jl.shape[1]
     kr = 0 if jr is None else jr.shape[1]
     m = rl * n * rr
-    out = np.empty((m, kl + 1 + kr), dtype=np.int64)
+    k = kl + 1 + kr
+    out = np.empty((m if pad_to is None else pad_to, k), dtype=np.int32)
     # Single-pass broadcast writes into the (rr, n, rl, cols) view of
     # the row enumeration a + rl*(im + n*c): the tile/repeat
     # formulation materialized 3 intermediate copies of the full index
     # matrix per evaluation batch (measured ~25% of a d=50 build).
-    o3 = out.reshape(rr, n, rl, kl + 1 + kr)
+    o3 = out[:m].reshape(rr, n, rl, k)
+    sl_l = slice(k - kl, k) if reverse else slice(0, kl)
+    sl_r = slice(0, kr) if reverse else slice(kl + 1, k)
+    i_m = kr if reverse else kl
     if kl:
-        o3[:, :, :, :kl] = jl[None, None, :, :]
-    o3[:, :, :, kl] = np.arange(n, dtype=np.int64)[None, :, None]
+        jlw = jl[:, ::-1] if reverse else jl
+        o3[:, :, :, sl_l] = jlw[None, None, :, :]
+    o3[:, :, :, i_m] = np.arange(n, dtype=np.int32)[None, :, None]
     if kr:
-        o3[:, :, :, kl + 1:] = jr[:, None, None, :]
+        jrw = jr[:, ::-1] if reverse else jr
+        o3[:, :, :, sl_r] = jrw[:, None, None, :]
+    if pad_to is not None and pad_to > m:
+        out[m:] = out[0]
     return out
 
 
@@ -235,7 +251,7 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
                  verb=0, vec=True, tol_exit=None, exitdir=0, dir=1,
                  auxinp=None, auxfun=None, stats=(), seed=0,
                  rmax=None, mesh=None, jit_fun="auto",
-                 profile=None) -> CrossResult:
+                 trunc="svd", profile=None) -> CrossResult:
     """Block TT-cross with AMEn residual enrichment and maxvol pivoting.
 
     Args:
@@ -309,6 +325,14 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
     tol_local = tol / math.sqrt(d)
     soughts = [s.lower() for s in stats]
     track_idx = (ifun is not None) or bool(soughts)
+    # Block truncation backend: 'svd' (QR + small SVD, rank-optimal at
+    # the same tolerance and 6x faster on one core) or 'cross' (greedy
+    # full-pivot localcross, the reference's truncate_block choice,
+    # amen_cross_s.m:594).  Stat tracking ('sr'/'lr'/...) forces the
+    # full-pivot backend: its greedy pivots probe the value-extreme
+    # entries the min/max statistics are computed from, which an
+    # SVD/leverage basis has no reason to visit.
+    _trunc = localcross if (trunc == "cross" or soughts) else trunc_svd
 
     if not callable(vec) and not vec:
         if mesh is not None:
@@ -397,15 +421,18 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
         """fun at the merged (left, mode, right) grid -> (m, b) values
         (b > 1 = block/vector-valued cross, amen_cross_s.m:426-428: the
         block index ends up in a boundary rank of the result)."""
-        m = (1 if jl is None or not jl.size else jl.shape[0]) * n[i] * \
-            (1 if jr is None or not jr.size else jr.shape[0])
+        rl = 1 if jl is None or not jl.size else jl.shape[0]
+        rr = 1 if jr is None or not jr.size else jr.shape[0]
+        m = rl * n[i] * rr
         vals = None
         if ifun is not None:
             with prof("eval_merge"):
-                j_virtual = _merge_full(jl, n[i], jr)
-                j_actual = j_virtual[:, ::-1] if orient < 0 else j_virtual
+                mpad = 1 << max(5, (m - 1).bit_length())
+                j_actual = _merge_full(jl, n[i], jr, pad_to=mpad,
+                                       reverse=(orient < 0))
             with prof("eval_fun"):
-                vals = _padded_call(ifun, j_actual, m)
+                vals = _as_values(_dispatch(ifun, j_actual))
+                vals = vals.reshape(mpad, -1)[:m]
             evalcnt[0] += m
         if ffun is not None:
             with prof("eval_merge"):
@@ -617,7 +644,7 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
                 mat = np.reshape(core, (ry[i] * n[i], ry[i + 1] * b),
                                  order="F")
                 if tol_local > 0:
-                    u, v = localcross(mat, tol_local, rmax=rmax)
+                    u, v = _trunc(mat, tol_local, rmax=rmax)
                 else:
                     u, v = np.linalg.qr(mat)
                 if rmax is not None and u.shape[1] > rmax:
@@ -640,13 +667,15 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
                     crs = np.reshape(crzex - crs_full,
                                      (ry[i] * n[i], rzr * b), order="F")
                     crs = _truncres(crs, _kick_rank(ry[i + 1]), tol_local,
-                                    rng, expand=False)
+                                    rng, expand=False, trunc=_trunc)
 
             # --- enrich, QR, maxvol, interface update ---
             with prof("qrmaxvol"):
-                cat = u if crs is None else np.concatenate([u, crs], axis=1)
-                q, rq = np.linalg.qr(cat)
-                rv = rq[:, :u.shape[1]] @ v               # (rnew, r2*b)
+                if crs is None:
+                    q, rv = u, v          # u already has orthonormal cols
+                else:
+                    q, rq = np.linalg.qr(np.concatenate([u, crs], axis=1))
+                    rv = rq[:, :u.shape[1]] @ v           # (rnew, r2*b)
                 ind = maxvol(q)
                 yy = q[ind]
                 try:
@@ -696,7 +725,7 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
                     crz = np.reshape(crzz - proj,
                                      (rzl * n[i], rzr * b), order="F")
                     crz = _truncres(crz, _kick_rank(ry[i + 1]), tol_local,
-                                    rng, expand=True)
+                                    rng, expand=True, trunc=_trunc)
                     indz = maxvol(crz)
                     rz[i + 1] = len(indz)
                     jz_l[i + 1] = _merge_full(jz_l[i], n[i],
@@ -766,7 +795,7 @@ def amen_cross_s(inp, fun, tol, *, y0=4, nswp=20, stop_sweep=0, kickrank=4,
     return CrossResult(tt, sv, si_, jy_l, (evalcnt[0], evalcnt[1]))
 
 
-def _truncres(crz, new_rank, tol_local, rng, expand):
+def _truncres(crz, new_rank, tol_local, rng, expand, trunc=localcross):
     """Truncate/expand a residual block (amen_cross_s.m:878-911)."""
     nrm = np.linalg.norm(crz)
     if nrm == 0.0:
@@ -774,7 +803,7 @@ def _truncres(crz, new_rank, tol_local, rng, expand):
     else:
         crz = crz / nrm
     if crz.shape[1] > new_rank:
-        u, _ = localcross(crz, tol_local)
+        u, _ = trunc(crz, tol_local)
         crz = u[:, :min(u.shape[1], new_rank)]
     elif expand and crz.shape[1] < new_rank:
         pad = rng.standard_normal((crz.shape[0], new_rank - crz.shape[1]))

