@@ -363,6 +363,14 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
         lfshift = float(np.asarray(dirt.lfshift))
         fprev = dirt.fprev
         fprev_rank = int(np.max(np.atleast_1d(y0v[min(1, nlvl)])))
+        if fprev is not None and max(fprev.ranks) > fprev_rank:
+            # same cap the in-session loop applies to next-level warm
+            # starts (tt_round(f_new, rmax=fprev_rank) below): a resumed
+            # build must not probe at the full stored rank when the
+            # caller asked for a smaller y0
+            from ..ops.tt import tt_round as _ttround
+
+            fprev = _ttround(fprev, 0.0, rmax=fprev_rank)
         if getattr(dirt, "history", None):
             history.extend(dirt.history)  # resume extends the trace
 
@@ -479,6 +487,21 @@ def tt_dirt_approx(x0, logpostfun: Callable, beta, *,
                 seed=opt.seed + ilvl + 1000 * recompute_count,
                 rmax=opt.rmax)
         else:
+            if fprev is not None:
+                # A checkpoint-loaded fprev carries boundary-extended
+                # cores (the samplers extrapolate to the full grid,
+                # tt_irt_sqr.m:56-62, and save_dirt persists that form)
+                # while the level cross runs on the interior grid —
+                # restrict the warm start to the interior slices.
+                want = [g.shape[0] for g in lvl_grids]
+                have = [int(v) for v in fprev.n]
+                if have != want:
+                    if all(h == w + 2 for h, w in zip(have, want)):
+                        from ..ops.tt import TT as _TT
+
+                        fprev = _TT([c[:, 1:-1, :] for c in fprev.cores])
+                    else:
+                        fprev = None
             y0_init = fprev if fprev is not None else \
                 int(np.max(np.atleast_1d(y0v[min(ilvl, len(y0v) - 1)])))
             res = amen_cross_s(
