@@ -67,8 +67,8 @@ def main():
         t0 = time.perf_counter()
         af = ti.amen_cross_s([log_a],
                              lambda v: np.exp(np.asarray(v)[:, 0]),
-                             min(tol, 1e-4), y0=args.rmax, nswp=1,
-                             kickrank=0)
+                             min(tol, 1e-4) * 0.1, y0=args.rmax,
+                             nswp=3, kickrank=2)
         t_coeff = time.perf_counter() - t0
         t0 = time.perf_counter()
         res = ti.als_cross_parametric(
