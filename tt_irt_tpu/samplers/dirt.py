@@ -59,16 +59,20 @@ def dirt_round(dirt: "DIRT", eps: float, rmax=None) -> "DIRT":
     Serve cost per level scales ~r^2, so shrinking ranks trades
     raw-sample quality (N/ESS) for throughput; debiasing stays exact
     either way (the returned log-density is the Jacobian of the
-    *realized* map).  Measured on the shipped lz40n33 checkpoint at
-    2^20 seeds on v5e ('hi'): eps=3e-3 shrinks the first three levels
-    to ranks 18-22 and degrades N/ESS 1.57 -> 1.82 (the earlier 2^14
-    CPU probe reporting "identical 1.367" lacked chi^2 resolution —
-    BENCH_NOTES round 3, "dirt_round is not a deep-serve lever");
-    eps=1e-2 reaches ranks 12-22.  The rank reduction only buys serve
-    time with rank-bucketed serving (DirtSampler ragged_step, the
-    default): global max-rank padding pads the savings away.  The
-    late (high-beta) levels are genuinely full-rank and do not shrink
-    — the knob helps most on stacks built with generous rank caps.
+    *realized* map).  Measured end-to-end on the shipped lz40n33
+    checkpoint at 2^20 seeds on v5e ('hi', rank-bucketed serving,
+    round-5 benchmarks/bench_dirt_round.py): eps=0 ranks 23
+    everywhere, 9.69 s (108.2k samples/s), N/ESS 1.819; eps=3e-3
+    shrinks the first four levels to 18-22 but buys only ~1% serve
+    time (9.61 s) at N/ESS 1.891; eps=1e-2 reaches ranks 12-22 on the
+    first ten levels and serves in 8.88 s (118.1k/s, +9%) at N/ESS
+    1.691 at these seeds — rounding perturbs the realized map, and
+    the perturbed proposal can measure either side of the unrounded
+    one's quality.  The rank reduction only buys serve time with
+    rank-bucketed serving (DirtSampler ragged_step, the default):
+    global max-rank padding pads the savings away.  The late
+    (high-beta) levels are genuinely full-rank and do not shrink —
+    the knob helps most on stacks built with generous rank caps.
     The reference has no analog (its IRTstruct is served as-built);
     this exists because serving is the TPU-resident production path
     here."""
