@@ -6,14 +6,30 @@ basis at levels >= 1 (:150-152); final debias against the exact
 likelihood.
 
 Usage: python examples/run_diffusion_dirt.py [--log2n 12]
+
+On a real chip, pass --build-on-cpu: the build phase (coefficient
+cross + ALS-Cross FEM solves + DIRT construction) is host-driven f64
+work that measured ~55x slower when dispatched through the device
+tunnel (BENCH_NOTES round-5 ALS-Cross table); the flag pins it to the
+host CPU backend while the serve + N/ESS phases run on the chip —
+the same host-build / device-serve split the rest of the repo uses.
 """
 
 import argparse
+import contextlib
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# --build-on-cpu needs the cpu backend NEXT TO the TPU one; a preset
+# JAX_PLATFORMS=<tpu-plugin> would otherwise exclude it (the first
+# entry stays the default backend, so device placement is unchanged).
+if "--build-on-cpu" in sys.argv:
+    _plat = os.environ.get("JAX_PLATFORMS", "")
+    if _plat and "cpu" not in _plat.split(","):
+        os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
 
 from tt_irt_tpu.utils import set_platform
 set_platform()  # honor JAX_PLATFORMS even with eager TPU plugins
@@ -27,26 +43,8 @@ from tt_irt_tpu.ops.interp import tt_sample_lagrange
 from tt_irt_tpu.ops.tt import TT, tt_reverse, tt_sum_many
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--meshlevel", type=int, default=0)
-    ap.add_argument("--ny", type=int, default=7)
-    ap.add_argument("--npi", type=int, default=17)
-    ap.add_argument("--rpi", type=int, default=8)
-    ap.add_argument("--log2n", type=int, default=12)
-    ap.add_argument("--log2ness", type=int, default=None,
-                    help="exact-likelihood N/ESS sample count (2^k; "
-                         "default min(log2n, 12) — the dense-FEM "
-                         "likelihood at 2^16 is a ~2 GB/block device "
-                         "workload and only the estimator benefits)")
-    ap.add_argument("--y0", type=float, default=1.5)
-    args = ap.parse_args()
-
-    tol = 7.6742e-03 * 4.0 ** (-args.meshlevel - 1)
-    prob = df.DiffusionProblem(meshlevel=args.meshlevel, tol_kle=tol * 3)
-    ell = prob.kle_dim
-    print(f"meshlevel={args.meshlevel} KLE dim={ell}")
-
+def build(args, prob, ell, tol):
+    """Build phase: coefficient cross + ALS-Cross surrogate + DIRT."""
     ni = np.round(args.ny + (2 - args.ny)
                   * (np.log(prob.lam) / np.log(prob.lam[-1]))).astype(int)
     ni = np.maximum(ni, 2)
@@ -100,6 +98,38 @@ def main():
         boundary=True, stoptol=0.1, reference="n4",
         interpolation="fourier", nq=[16] * ell, testsamples=256, seed=0)
     t_build = time.perf_counter() - t0
+    return dirt, q_obs, t_build
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--meshlevel", type=int, default=0)
+    ap.add_argument("--ny", type=int, default=7)
+    ap.add_argument("--npi", type=int, default=17)
+    ap.add_argument("--rpi", type=int, default=8)
+    ap.add_argument("--log2n", type=int, default=12)
+    ap.add_argument("--log2ness", type=int, default=None,
+                    help="exact-likelihood N/ESS sample count (2^k; "
+                         "default min(log2n, 12) — the dense-FEM "
+                         "likelihood at 2^16 is a ~2 GB/block device "
+                         "workload and only the estimator benefits)")
+    ap.add_argument("--y0", type=float, default=1.5)
+    ap.add_argument("--build-on-cpu", action="store_true",
+                    help="pin the build phase to the host CPU backend "
+                         "(host-driven f64 FEM work; ~55x slower "
+                         "through a device tunnel) and keep serve + "
+                         "N/ESS on the default (TPU) backend")
+    args = ap.parse_args()
+
+    tol = 7.6742e-03 * 4.0 ** (-args.meshlevel - 1)
+    prob = df.DiffusionProblem(meshlevel=args.meshlevel, tol_kle=tol * 3)
+    ell = prob.kle_dim
+    print(f"meshlevel={args.meshlevel} KLE dim={ell}")
+
+    ctx = (jax.default_device(jax.devices("cpu")[0])
+           if args.build_on_cpu else contextlib.nullcontext())
+    with ctx:
+        dirt, q_obs, t_build = build(args, prob, ell, tol)
 
     lfn = prob.likelihood_fn(q_obs)
     m = 1 << args.log2n
